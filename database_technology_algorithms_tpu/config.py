@@ -1,0 +1,56 @@
+"""Engine configuration.
+
+The reference has exactly one runtime knob (``nblocks``, ``main.cpp:23-24``);
+everything else is compile-time constants or hardcoded call sites.  Its one
+*semantic* knob is the per-operator ``nmem_blocks`` bounded-buffer contract
+(``dbtproj.h:48,76``) — the simulated-RAM budget that forces external,
+multi-pass algorithms.  Here that becomes explicit per-chip memory budgets.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+
+@dataclasses.dataclass(frozen=True)
+class EngineConfig:
+    # --- memory discipline (the nmem_blocks heir) ---------------------------
+    # Rows the engine may hold on-device per operator instance. Inputs larger
+    # than this are processed by the external (chunked, spilling) drivers.
+    mem_rows: int = 16 * 1024 * 1024
+    # Fan-in of the external merge (reference: nmem_blocks - 1,
+    # DatabaseProject.cpp:249,267).
+    merge_fanin: int = 16
+
+    # --- sort ---------------------------------------------------------------
+    # u32 words of NUL-normalized string used as the fast-path sort prefix;
+    # ties that differ beyond the prefix trigger an exact full-width fallback.
+    str_prefix_words: int = 2
+    # radix bits per pass for the Pallas LSD radix sort
+    radix_bits: int = 8
+    # rows per radix-sort tile
+    sort_tile_rows: int = 2048
+
+    # --- hash join ----------------------------------------------------------
+    # table slots = next_pow2(load_factor_inv * n_build)
+    hash_load_factor_inv: int = 2
+    # max linear-probe steps before falling back to the sorted path
+    hash_max_probe: int = 64
+
+    # --- distributed --------------------------------------------------------
+    # mesh axis names: data axis is the engine's only parallel axis
+    mesh_axis: str = "shard"
+    # all-to-all per-destination capacity = ceil(rows/ndev) * slack
+    shuffle_slack: float = 2.0
+    # heavy-hitter threshold: keys with > rows/(ndev*hh_factor) occurrences
+    # get split/broadcast handling
+    hh_factor: int = 4
+    # number of candidate heavy hitters tracked
+    hh_topk: int = 16
+
+    # --- misc ---------------------------------------------------------------
+    seed: int = 42
+    interpret: bool = False  # run Pallas kernels in interpreter mode
+
+
+DEFAULT_CONFIG = EngineConfig()

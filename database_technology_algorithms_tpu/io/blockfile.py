@@ -1,0 +1,132 @@
+"""Reader/writer for the reference engine's binary block file format.
+
+Layout (verified against the reference structs by compilation —
+``/root/reference/dbtproj.h:20-38``, x86-64 alignment):
+
+    record_t (140 B): recid u32 | num u32 | str char[120] | valid u8 |
+                      pad[3] | dummy1 u32 | dummy2 u32
+    block_t (14016 B): blockid u32 | nreserved u32 | entries record_t[100] |
+                       valid u8 | misc u8 | pad[2] | dummy u32
+
+These codecs exist so every stage of the TPU engine can be diffed against the
+reference binary (the parity oracle) on identical byte inputs.  The hot path —
+AoS bytes -> SoA columns — is a pure numpy strided view + copy per column,
+with an optional native C path (see ``native/``) for large files.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..batch import (
+    MAX_RECORDS_PER_BLOCK,
+    STR_LENGTH,
+    STR_PAD,
+    RecordBatch,
+    normalize_str_bytes,
+)
+
+RECORD_SIZE = 140
+BLOCK_SIZE = 14016
+
+RECORD_DTYPE = np.dtype(
+    {
+        "names": ["recid", "num", "str", "valid", "dummy1", "dummy2"],
+        "formats": ["<u4", "<u4", f"({STR_LENGTH},)u1", "u1", "<u4", "<u4"],
+        "offsets": [0, 4, 8, 128, 132, 136],
+        "itemsize": RECORD_SIZE,
+    }
+)
+
+BLOCK_DTYPE = np.dtype(
+    {
+        "names": ["blockid", "nreserved", "entries", "valid", "misc", "dummy"],
+        "formats": ["<u4", "<u4", (RECORD_DTYPE, (MAX_RECORDS_PER_BLOCK,)), "u1", "u1", "<u4"],
+        "offsets": [0, 4, 8, 14008, 14009, 14012],
+        "itemsize": BLOCK_SIZE,
+    }
+)
+
+assert RECORD_DTYPE.itemsize == RECORD_SIZE
+assert BLOCK_DTYPE.itemsize == BLOCK_SIZE
+
+
+def read_blockfile_numpy(path: str) -> dict:
+    """Parse a block file into host SoA numpy columns.
+
+    Honors each block's ``nreserved`` header (partial final blocks appear in
+    reference outputs, with the caveat that some reference writers lie in the
+    final block header — see SURVEY.md §2 C6/C7; callers that read reference
+    *outputs* should use ``read_blockfile_numpy(path, )`` together with a
+    trusted row count when diffing those).
+    """
+    raw = np.fromfile(path, dtype=np.uint8)
+    nblocks = len(raw) // BLOCK_SIZE
+    blocks = raw[: nblocks * BLOCK_SIZE].view(BLOCK_DTYPE)
+    nres = np.minimum(blocks["nreserved"], MAX_RECORDS_PER_BLOCK).astype(np.int64)
+    total = int(nres.sum())
+
+    entries = blocks["entries"]  # (nblocks, 100) structured
+    # mask of real rows per block
+    row_idx = np.arange(MAX_RECORDS_PER_BLOCK)[None, :]
+    mask = row_idx < nres[:, None]
+
+    recid = entries["recid"][mask].astype(np.uint32)
+    num = entries["num"][mask].astype(np.uint32)
+    strs120 = entries["str"][mask]  # (total, 120) uint8
+    valid = entries["valid"][mask].astype(bool)
+
+    strs = np.zeros((total, STR_PAD), dtype=np.uint8)
+    strs[:, :STR_LENGTH] = strs120
+    strs = normalize_str_bytes(strs)
+    return {"recid": recid, "num": num, "strs": strs, "valid": valid}
+
+
+def read_blockfile(path: str) -> RecordBatch:
+    cols = read_blockfile_numpy(path)
+    return RecordBatch.from_numpy(
+        cols["recid"], cols["num"], cols["strs"], cols["valid"], normalize=False
+    )
+
+
+def write_blockfile(path: str, batch_or_cols, full_header: bool = True) -> int:
+    """Write SoA columns back out as reference-format blocks.
+
+    Returns the number of blocks written.  ``full_header=True`` writes honest
+    ``nreserved`` for the final partial block (unlike reference MergeJoin,
+    which claims MAX_RECORDS_PER_BLOCK even for partial tails,
+    ``DatabaseProject.cpp:439,489``).
+    """
+    if isinstance(batch_or_cols, RecordBatch):
+        cols = batch_or_cols.to_numpy()
+    else:
+        cols = batch_or_cols
+    recid = np.asarray(cols["recid"], dtype=np.uint32)
+    num = np.asarray(cols["num"], dtype=np.uint32)
+    strs = np.asarray(cols["strs"], dtype=np.uint8)
+    valid = np.asarray(cols.get("valid", np.ones(len(recid), bool)))
+    n = len(recid)
+    nblocks = -(-n // MAX_RECORDS_PER_BLOCK) if n else 0
+
+    blocks = np.zeros(nblocks, dtype=BLOCK_DTYPE)
+    pad_n = nblocks * MAX_RECORDS_PER_BLOCK
+
+    def padcol(a, shape_tail=()):
+        out = np.zeros((pad_n,) + shape_tail, dtype=a.dtype)
+        out[:n] = a
+        return out.reshape((nblocks, MAX_RECORDS_PER_BLOCK) + shape_tail)
+
+    if nblocks:
+        entries = blocks["entries"]
+        entries["recid"] = padcol(recid)
+        entries["num"] = padcol(num)
+        entries["str"] = padcol(strs[:, :STR_LENGTH], (STR_LENGTH,))
+        entries["valid"] = padcol(valid.astype(np.uint8))
+        blocks["blockid"] = np.arange(nblocks, dtype=np.uint32)
+        counts = np.full(nblocks, MAX_RECORDS_PER_BLOCK, dtype=np.uint32)
+        if n % MAX_RECORDS_PER_BLOCK and full_header:
+            counts[-1] = n % MAX_RECORDS_PER_BLOCK
+        blocks["nreserved"] = counts
+        blocks["valid"] = 1
+    blocks.tofile(path)
+    return nblocks

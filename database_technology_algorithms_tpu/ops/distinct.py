@@ -1,0 +1,47 @@
+"""Duplicate elimination (sort-based DISTINCT on the join field).
+
+Reference semantics (``DatabaseProject.cpp:94-170``): sort by the field, then
+stream once keeping a record only when its key differs from the previous
+record's — i.e. keep the *first* record of each equal-key group, survivors in
+sorted key order.  ``nunique`` counts all unique keys.
+
+Vectorized here as: sort → adjacent-equality mask → compact.  Two reference
+bugs are deliberately *not* reproduced (SURVEY.md §2 C5): the final partial
+output block is never flushed there (tail rows silently dropped from the
+file), and the first comparison reads uninitialized stack memory.  The parity
+harness accounts for both on the oracle side.
+
+Survivor identity: the reference's qsort is unstable, so *which* record of a
+duplicate group survives is unspecified there; here it is deterministically
+the lowest-original-index record (total-order sort in sort.py).
+"""
+
+from __future__ import annotations
+
+import jax
+
+from ..batch import RecordBatch
+from ..config import DEFAULT_CONFIG, EngineConfig
+from .filter import compact
+from .keys import adjacent_equal
+from .sort import sort_batch
+
+
+def distinct_sorted(
+    sorted_batch: RecordBatch, field
+) -> tuple[RecordBatch, jax.Array]:
+    """DISTINCT over an already key-sorted batch. Returns (batch, nunique)."""
+    keep = ~adjacent_equal(sorted_batch, field)
+    return compact(sorted_batch, keep)
+
+
+def distinct(
+    batch: RecordBatch, field, cfg: EngineConfig = DEFAULT_CONFIG
+) -> tuple[RecordBatch, jax.Array]:
+    """Sort + DISTINCT (the reference's EliminateDuplicates pipeline).
+
+    Returns (batch_with_capacity_N, nunique); rows beyond nunique are zeroed.
+    Output rows are in sorted key order, matching the reference's output order.
+    """
+    sorted_batch, _ = sort_batch(batch, field, cfg)
+    return distinct_sorted(sorted_batch, field)

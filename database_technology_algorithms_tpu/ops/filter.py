@@ -1,0 +1,119 @@
+"""Masked selection filter + compaction.
+
+The reference's data model carries a ``valid`` flag on every record/block
+(``dbtproj.h:24,35``) as its selection mechanism, but no operator ever tests
+it (SURVEY.md §2 C8) — predicate evaluation is trivially "all pass".  Here the
+filter is real: predicates evaluate to a boolean mask on the VPU, and
+`compact` turns (rows, mask) into a dense prefix via one cumsum + one scatter,
+the static-shape-friendly TPU form of "copy the surviving records forward".
+
+Static shapes: under jit, output capacity equals input capacity; the true row
+count rides alongside as a scalar (SURVEY.md §7 hard part #4).  Rows past the
+count are zeroed.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..batch import STR_PAD, RecordBatch
+
+
+def compact(batch: RecordBatch, mask: jax.Array) -> tuple[RecordBatch, jax.Array]:
+    """Move rows where mask is True to the front, preserving order.
+
+    Returns (batch_same_capacity, count). Jit-safe; one scatter per column.
+    """
+    n = batch.nrows
+    count = jnp.sum(mask, dtype=jnp.int32)
+    pos = jnp.cumsum(mask.astype(jnp.int32)) - 1
+    dest = jnp.where(mask, pos, n)  # n == out-of-bounds => dropped
+
+    def scatter(col):
+        return jnp.zeros_like(col).at[dest].set(col, mode="drop")
+
+    out = RecordBatch(
+        recid=scatter(batch.recid),
+        num=scatter(batch.num),
+        strs=scatter(batch.strs),
+        valid=scatter(batch.valid),
+    )
+    return out, count
+
+
+def truncate(batch: RecordBatch, count) -> RecordBatch:
+    """Host-side: materialize only the first `count` rows (not jit-safe)."""
+    c = int(count)
+    return RecordBatch(
+        recid=batch.recid[:c],
+        num=batch.num[:c],
+        strs=batch.strs[:c],
+        valid=batch.valid[:c],
+    )
+
+
+# ---- predicates ------------------------------------------------------------
+
+Predicate = Callable[[RecordBatch], jax.Array]
+
+
+def pred_valid() -> Predicate:
+    """The reference-format selection predicate: record.valid is set."""
+    return lambda b: b.valid
+
+
+def pred_num_range(lo: int | None = None, hi: int | None = None) -> Predicate:
+    def f(b: RecordBatch) -> jax.Array:
+        m = jnp.ones(b.nrows, dtype=bool)
+        if lo is not None:
+            m &= b.num >= jnp.uint32(lo)
+        if hi is not None:
+            m &= b.num < jnp.uint32(hi)
+        return m
+
+    return f
+
+
+def pred_recid_range(lo: int | None = None, hi: int | None = None) -> Predicate:
+    def f(b: RecordBatch) -> jax.Array:
+        m = jnp.ones(b.nrows, dtype=bool)
+        if lo is not None:
+            m &= b.recid >= jnp.uint32(lo)
+        if hi is not None:
+            m &= b.recid < jnp.uint32(hi)
+        return m
+
+    return f
+
+
+def pred_str_eq(s: bytes) -> Predicate:
+    """String equality (strcmp == 0 semantics on NUL-normalized bytes)."""
+    const = np.zeros(STR_PAD, dtype=np.uint8)
+    raw = np.frombuffer(s[:STR_PAD], dtype=np.uint8)
+    const[: len(raw)] = raw
+
+    def f(b: RecordBatch) -> jax.Array:
+        return jnp.all(b.strs == jnp.asarray(const), axis=-1)
+
+    return f
+
+
+def pred_and(*preds: Predicate) -> Predicate:
+    def f(b: RecordBatch) -> jax.Array:
+        m = preds[0](b)
+        for p in preds[1:]:
+            m &= p(b)
+        return m
+
+    return f
+
+
+def filter_batch(
+    batch: RecordBatch, predicate: Predicate
+) -> tuple[RecordBatch, jax.Array]:
+    """Evaluate predicate, compact survivors. Returns (batch, count)."""
+    return compact(batch, predicate(batch))

@@ -1,0 +1,126 @@
+"""Sort/join key extraction for the four reference key domains.
+
+The reference parameterizes every operator by a field selector
+(``dbtproj.h:46``): '0'=recid, '1'=num, '2'=str (strcmp order),
+'3'=(num, str) lexicographic — comparators at
+``/root/reference/DatabaseProject.cpp:44-92``.
+
+Here a key is a list of **uint32 words, most-significant first**.  Sorting
+lexicographically by the word list (via ``jax.lax.sort`` with ``num_keys``)
+reproduces the reference's total orders exactly:
+
+* recid / num are u32 — one word.
+* str: NUL-normalized bytes packed big-endian 4-per-word give bytewise
+  unsigned order == strcmp order (C11 7.24.4: strcmp compares unsigned
+  chars; normalization in batch.py zeroes post-NUL garbage).
+* (num, str) = [num] ++ str words.
+
+Fast path: only ``prefix_words`` string words (default 2 = first 8 chars) are
+sorted; a vectorized post-check detects prefix-ties whose full strings differ
+and triggers the exact 32-word fallback (SURVEY.md §7 hard part #2).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..batch import STR_PAD, FIELD_NUM, FIELD_NUMSTR, FIELD_RECID, FIELD_STR, RecordBatch, canonical_field
+
+STR_WORDS = STR_PAD // 4  # 32
+
+
+def str_key_words(strs: jax.Array, nwords: int) -> list[jax.Array]:
+    """Pack uint8[N,128] into big-endian uint32 words (most-significant first)."""
+    n = strs.shape[0]
+    b = strs[:, : nwords * 4].astype(jnp.uint32).reshape(n, nwords, 4)
+    words = (b[..., 0] << 24) | (b[..., 1] << 16) | (b[..., 2] << 8) | b[..., 3]
+    return [words[:, j] for j in range(nwords)]
+
+
+def key_words(batch: RecordBatch, field, nwords: int | None = None) -> list[jax.Array]:
+    """Key word list for `field`. nwords limits string words (None = exact 32)."""
+    field = canonical_field(field)
+    if field == FIELD_RECID:
+        return [batch.recid]
+    if field == FIELD_NUM:
+        return [batch.num]
+    sw = STR_WORDS if nwords is None else nwords
+    if field == FIELD_STR:
+        return str_key_words(batch.strs, sw)
+    if field == FIELD_NUMSTR:
+        return [batch.num] + str_key_words(batch.strs, sw)
+    raise ValueError(field)
+
+
+def uses_strings(field) -> bool:
+    return canonical_field(field) in (FIELD_STR, FIELD_NUMSTR)
+
+
+def rows_equal_on_field(batch: RecordBatch, field, i: jax.Array, j: jax.Array) -> jax.Array:
+    """Exact key equality between row sets i and j (full-width, never prefixed)."""
+    field = canonical_field(field)
+    if field == FIELD_RECID:
+        return batch.recid[i] == batch.recid[j]
+    if field == FIELD_NUM:
+        return batch.num[i] == batch.num[j]
+    streq = jnp.all(batch.strs[i] == batch.strs[j], axis=-1)
+    if field == FIELD_STR:
+        return streq
+    return streq & (batch.num[i] == batch.num[j])
+
+
+def adjacent_equal(batch: RecordBatch, field) -> jax.Array:
+    """bool[N]: row k has the same full key as row k-1 (element 0 is False).
+
+    The vectorized heir of the reference's ``previous``-record compare in
+    EliminateDuplicates (``DatabaseProject.cpp:117-144``) — and, unlike it,
+    element 0 is well-defined rather than a compare against uninitialized
+    stack memory.
+    """
+    field = canonical_field(field)
+    n = batch.nrows
+    if n == 0:
+        return jnp.zeros((0,), dtype=bool)
+    if field == FIELD_RECID:
+        eq = batch.recid[1:] == batch.recid[:-1]
+    elif field == FIELD_NUM:
+        eq = batch.num[1:] == batch.num[:-1]
+    else:
+        eq = jnp.all(batch.strs[1:] == batch.strs[:-1], axis=-1)
+        if field == FIELD_NUMSTR:
+            eq = eq & (batch.num[1:] == batch.num[:-1])
+    return jnp.concatenate([jnp.zeros((1,), dtype=bool), eq])
+
+
+# ---- hashing ---------------------------------------------------------------
+
+_FNV_PRIME = jnp.uint32(16777619)
+_FNV_BASIS = jnp.uint32(2166136261)
+
+
+def hash_words(words: list[jax.Array], seed: int = 0) -> jax.Array:
+    """FNV-1a-style u32 hash over key words, with a final avalanche mix.
+
+    Used by the hash join and the hash-partitioned shuffle.  Deterministic
+    across chips (pure integer ops) so partitioning is reproducible.
+    """
+    h = _FNV_BASIS ^ jnp.uint32(seed * 0x9E3779B9)
+    for w in words:
+        w = w.astype(jnp.uint32)
+        h = (h ^ (w & 0xFF)) * _FNV_PRIME
+        h = (h ^ ((w >> 8) & 0xFF)) * _FNV_PRIME
+        h = (h ^ ((w >> 16) & 0xFF)) * _FNV_PRIME
+        h = (h ^ (w >> 24)) * _FNV_PRIME
+    # murmur3 finalizer for avalanche
+    h = h ^ (h >> 16)
+    h = h * jnp.uint32(0x85EBCA6B)
+    h = h ^ (h >> 13)
+    h = h * jnp.uint32(0xC2B2AE35)
+    h = h ^ (h >> 16)
+    return h
+
+
+def key_hash(batch: RecordBatch, field, seed: int = 0) -> jax.Array:
+    """u32 hash of each row's full-width key."""
+    return hash_words(key_words(batch, field, nwords=None), seed=seed)
