@@ -1,0 +1,305 @@
+"""External (out-of-core) operator drivers: bounded device memory, spill files.
+
+The reference handles datasets ≫ memory with run formation + multi-pass
+K-way merge (``DatabaseProject.cpp:172-381``): qsort ``nmem_blocks`` blocks
+at a time into ``segment<N>.bin`` files, then repeatedly merge
+``nmem_blocks-1`` segments through a priority queue until one remains —
+passes = 1 + ceil(log_K(runs)).
+
+The TPU-native replacement is a **two-pass distribution sort** (sample-based
+key-range partitioning — the out-of-core analogue of the radix/bucket design
+the north star prescribes, and the same algorithm the distributed sort uses
+across chips, with disk segments standing in for remote chips):
+
+  pass 1 (run formation): stream ``mem_rows`` chunks → device total-order
+    sort → spill each sorted segment + a key sample;
+  pass 2 (distribute): choose splitters from the merged sample so each key
+    range fits the memory budget; every segment is *sorted*, so each range is
+    a contiguous slice (host searchsorted on the spilled key column); gather
+    range slices from all segments → device sort → emit, in key order.
+
+Merging k sorted runs per-record through a heap is exactly the scalar hot
+loop a vector machine cannot run; distribution sort replaces it with two
+bandwidth-bound passes regardless of segment count (vs log_K passes).
+
+Spill segments are the checkpoint/resume unit, like the reference's segment
+files (SURVEY.md §5 checkpoint row): a JSON manifest records completed
+stages; re-running skips finished segments/ranges.
+
+Stats mirror the reference counters: ``nsorted_segs`` = segments spilled,
+``npasses`` = 2 (or 1 if the input fit in memory), bytes spilled/read
+accounted per tier in OperatorStats.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import pathlib
+from typing import Callable, Iterator
+
+import numpy as np
+
+from .batch import RecordBatch
+from .config import DEFAULT_CONFIG, EngineConfig
+from .metrics import OperatorStats, Timer
+from .ops.distinct import distinct_sorted
+from .ops.filter import truncate
+from .ops.keys import key_words
+from .ops.sort import sort_batch
+
+
+def _np_key_words(cols: dict, field) -> np.ndarray:
+    """Host-side (nrows, nwords) uint32 key-word matrix (same order as device)."""
+    batch = RecordBatch.from_numpy(
+        cols["recid"], cols["num"], cols["strs"], cols.get("valid"), normalize=False
+    )
+    words = key_words(batch, field, nwords=None)
+    return np.stack([np.asarray(w) for w in words], axis=1)
+
+
+def _lex_leq(a: np.ndarray, b: np.ndarray) -> bool:
+    """a <= b lexicographically for 1-D word vectors."""
+    for x, y in zip(a, b):
+        if x != y:
+            return x < y
+    return True
+
+
+def _searchsorted_rows(sorted_words: np.ndarray, split: np.ndarray, side: str) -> int:
+    """Binary search a row `split` in a lexicographically sorted word matrix."""
+    lo, hi = 0, len(sorted_words)
+    while lo < hi:
+        mid = (lo + hi) // 2
+        row = sorted_words[mid]
+        t = tuple(row)
+        s = tuple(split)
+        if t < s or (side == "right" and t == s):
+            lo = mid + 1
+        else:
+            hi = mid
+    return lo
+
+
+class SegmentStore:
+    """Spill directory of sorted column segments + manifest (resume unit)."""
+
+    def __init__(self, spill_dir: str):
+        self.dir = pathlib.Path(spill_dir)
+        self.dir.mkdir(parents=True, exist_ok=True)
+        self.manifest_path = self.dir / "manifest.json"
+        self.manifest = {"segments": [], "stage": "runs", "ranges_done": []}
+        if self.manifest_path.exists():
+            self.manifest = json.loads(self.manifest_path.read_text())
+
+    def save_manifest(self):
+        tmp = self.manifest_path.with_suffix(".tmp")
+        tmp.write_text(json.dumps(self.manifest))
+        os.replace(tmp, self.manifest_path)
+
+    def seg_path(self, i: int) -> pathlib.Path:
+        return self.dir / f"segment{i}.npz"
+
+    def write_segment(self, i: int, cols: dict, keys: np.ndarray) -> int:
+        np.savez(self.seg_path(i), keys=keys, **cols)
+        if i not in self.manifest["segments"]:
+            self.manifest["segments"].append(i)
+            self.save_manifest()
+        return sum(v.nbytes for v in cols.values()) + keys.nbytes
+
+    def read_segment(self, i: int) -> tuple[dict, np.ndarray]:
+        z = np.load(self.seg_path(i))
+        cols = {k: z[k] for k in ("recid", "num", "strs", "valid")}
+        return cols, z["keys"]
+
+    def cleanup(self):
+        for f in self.dir.glob("segment*.npz"):
+            f.unlink()
+        if self.manifest_path.exists():
+            self.manifest_path.unlink()
+
+
+def external_sort(
+    chunks: Iterator[dict] | Callable[[], Iterator[dict]],
+    field,
+    spill_dir: str,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    mem_rows: int | None = None,
+    stats: OperatorStats | None = None,
+    distinct: bool = False,
+) -> Iterator[dict]:
+    """Sort a host column-chunk stream under a device-memory budget.
+
+    Yields sorted column chunks (each <= mem_rows) in global key order.
+    With ``distinct=True``, also eliminates duplicate keys globally (the
+    external EliminateDuplicates — valid because pass 2 ranges partition by
+    *key*, so all duplicates of a key land in the same device-sorted range).
+    """
+    stats = stats if stats is not None else OperatorStats(op="external_sort")
+    mem_rows = mem_rows or cfg.mem_rows
+    store = SegmentStore(spill_dir)
+    t = Timer()
+
+    chunk_iter = chunks() if callable(chunks) else chunks
+
+    # ---- pass 1: run formation -------------------------------------------
+    nseg = 0
+    samples = []
+    seg_sizes = []
+    total_rows = 0
+    sample_every = max(mem_rows // 256, 1)
+    for chunk in chunk_iter:
+        n = len(chunk["recid"])
+        assert n <= mem_rows, "chunk exceeds memory budget"
+        total_rows += n
+        if nseg in store.manifest["segments"]:
+            cols, keys = store.read_segment(nseg)  # resume: already spilled
+        else:
+            batch = RecordBatch.from_numpy(
+                chunk["recid"], chunk["num"], chunk["strs"],
+                chunk.get("valid"), normalize=False,
+            )
+            sorted_b, _ = sort_batch(batch, field, cfg)
+            cols = sorted_b.to_numpy()
+            keys = _np_key_words(cols, field)
+            stats.bytes_hbm += 2 * sum(v.nbytes for v in cols.values())
+            stats.bytes_host += store.write_segment(nseg, cols, keys)
+        samples.append(keys[::sample_every])
+        seg_sizes.append(n)
+        nseg += 1
+
+    stats.nsorted_segs = nseg
+    stats.rows_in = total_rows
+
+    if nseg == 0:
+        stats.npasses = 0
+        stats.wall_s = t.stop()
+        return
+    if nseg == 1:
+        # fits in one budgeted chunk: single pass, stream straight out
+        cols, _ = store.read_segment(0)
+        if distinct:
+            cols = _distinct_chunk(cols, field, cfg)
+        stats.npasses = 1
+        stats.rows_out = len(cols["recid"])
+        stats.wall_s = t.stop()
+        yield cols
+        store.cleanup()
+        return
+
+    # ---- pass 2: sample splitters, gather key ranges ----------------------
+    sample = np.concatenate(samples, axis=0)
+    order = np.lexsort(sample.T[::-1])
+    sample = sample[order]
+    # enough ranges that a perfectly-balanced range fits in half the budget
+    nranges = max(2 * (total_rows // mem_rows + 1), 2)
+    step = max(len(sample) // nranges, 1)
+    splitters = sample[step::step]
+
+    seg_cols = []
+    seg_keys = []
+    for i in range(nseg):
+        cols, keys = store.read_segment(i)
+        stats.bytes_host += keys.nbytes
+        seg_cols.append(cols)
+        seg_keys.append(keys)
+
+    prev_rows = None
+    prev_keyvec = None
+    bounds = [None] + [splitters[i] for i in range(len(splitters))] + [None]
+    cursors = [0] * nseg
+    for r in range(len(bounds) - 1):
+        hi = bounds[r + 1]
+        parts = []
+        for i in range(nseg):
+            lo_idx = cursors[i]
+            hi_idx = (
+                len(seg_keys[i])
+                if hi is None
+                else _searchsorted_rows(seg_keys[i], hi, "right")
+            )
+            if hi_idx > lo_idx:
+                parts.append(
+                    {k: v[lo_idx:hi_idx] for k, v in seg_cols[i].items()}
+                )
+            cursors[i] = hi_idx
+        if not parts:
+            continue
+        merged = {
+            k: np.concatenate([p[k] for p in parts]) for k in parts[0]
+        }
+        n = len(merged["recid"])
+        # oversized range (heavy key skew): sort in sub-chunks; a range this
+        # hot is dominated by one key, whose duplicates are already in
+        # global stream order across segments, so key-major order holds.
+        out_chunks = []
+        for s in range(0, n, mem_rows):
+            sub = {k: v[s : s + mem_rows] for k, v in merged.items()}
+            batch = RecordBatch.from_numpy(
+                sub["recid"], sub["num"], sub["strs"], sub.get("valid"),
+                normalize=False,
+            )
+            sorted_b, _ = sort_batch(batch, field, cfg)
+            out_chunks.append(sorted_b.to_numpy())
+            stats.bytes_hbm += 2 * sum(v.nbytes for v in sub.values())
+        for oc in out_chunks:
+            if distinct:
+                oc = _distinct_chunk(oc, field, cfg)
+                # cross-chunk dedup at the seam
+                if prev_keyvec is not None and len(oc["recid"]):
+                    first = _np_key_words(
+                        {k: v[:1] for k, v in oc.items()}, field
+                    )[0]
+                    if tuple(first) == tuple(prev_keyvec):
+                        oc = {k: v[1:] for k, v in oc.items()}
+            if len(oc["recid"]) == 0:
+                continue
+            prev_keyvec = _np_key_words(
+                {k: v[-1:] for k, v in oc.items()}, field
+            )[0]
+            stats.rows_out += len(oc["recid"])
+            yield oc
+
+    stats.npasses = 2
+    stats.wall_s = t.stop()
+    store.cleanup()
+
+
+def _distinct_chunk(cols: dict, field, cfg: EngineConfig) -> dict:
+    batch = RecordBatch.from_numpy(
+        cols["recid"], cols["num"], cols["strs"], cols.get("valid"),
+        normalize=False,
+    )
+    out, n = distinct_sorted(batch, field)
+    return truncate(out, int(n)).to_numpy()
+
+
+def blockfile_chunks(path: str, mem_rows: int) -> Iterator[dict]:
+    """Stream a reference block file as host column chunks of <= mem_rows."""
+    from .io.blockfile import BLOCK_SIZE, MAX_RECORDS_PER_BLOCK, read_blockfile_numpy
+
+    # read in block-aligned spans without loading the whole file
+    from .io import blockfile as bf
+
+    raw = np.memmap(path, dtype=np.uint8, mode="r")
+    nblocks = len(raw) // BLOCK_SIZE
+    blocks_per_chunk = max(mem_rows // MAX_RECORDS_PER_BLOCK, 1)
+    for b0 in range(0, nblocks, blocks_per_chunk):
+        b1 = min(b0 + blocks_per_chunk, nblocks)
+        span = np.array(raw[b0 * BLOCK_SIZE : b1 * BLOCK_SIZE])
+        blocks = span.view(bf.BLOCK_DTYPE)
+        nres = np.minimum(blocks["nreserved"], MAX_RECORDS_PER_BLOCK).astype(np.int64)
+        entries = blocks["entries"]
+        row_idx = np.arange(MAX_RECORDS_PER_BLOCK)[None, :]
+        mask = row_idx < nres[:, None]
+        from .batch import STR_LENGTH, STR_PAD, normalize_str_bytes
+
+        total = int(nres.sum())
+        strs = np.zeros((total, STR_PAD), dtype=np.uint8)
+        strs[:, :STR_LENGTH] = entries["str"][mask]
+        yield {
+            "recid": entries["recid"][mask].astype(np.uint32),
+            "num": entries["num"][mask].astype(np.uint32),
+            "strs": normalize_str_bytes(strs),
+            "valid": entries["valid"][mask].astype(bool),
+        }

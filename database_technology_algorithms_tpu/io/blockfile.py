@@ -127,6 +127,12 @@ def write_blockfile(path: str, batch_or_cols, full_header: bool = True) -> int:
         if n % MAX_RECORDS_PER_BLOCK and full_header:
             counts[-1] = n % MAX_RECORDS_PER_BLOCK
         blocks["nreserved"] = counts
+        # The reference merge phase treats block.dummy as its per-block
+        # unconsumed-record counter and requires dummy == nreserved on input
+        # (generator sets it at main.cpp:70; consumed at
+        # DatabaseProject.cpp:282,295,317-321 — dummy=0 underflows and the
+        # merge loop never terminates).
+        blocks["dummy"] = counts
         blocks["valid"] = 1
     blocks.tofile(path)
     return nblocks
