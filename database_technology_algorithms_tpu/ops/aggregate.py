@@ -11,6 +11,8 @@ aggregate — deterministic, collision-free, and exact for string keys).
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -23,28 +25,42 @@ from .sort import sort_batch
 U32_MAX = jnp.uint32(0xFFFFFFFF)
 
 
+@functools.partial(jax.jit, static_argnames=("field", "cfg"))
 def group_aggregate(
-    batch: RecordBatch, field, cfg: EngineConfig = DEFAULT_CONFIG
+    batch: RecordBatch,
+    field,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    count: jax.Array | None = None,
 ) -> tuple[RecordBatch, dict, jax.Array]:
     """Group by `field`; aggregate `num` per group.
 
     Returns (group_rep_batch, aggs, n_groups): group representative rows (the
     first record of each group, sorted key order) compacted to the front;
     aggs = {"count","sum","min","max"} int arrays aligned with those rows.
+    `count` marks live rows (static-capacity convention).
     """
     n = batch.nrows
-    sorted_b, _ = sort_batch(batch, field, cfg)
-    new_run = ~adjacent_equal(sorted_b, field)
-    seg = jnp.cumsum(new_run.astype(jnp.int32)) - 1
-
-    count = jnp.zeros(n, dtype=jnp.int32).at[seg].add(1)
-    ssum = jnp.zeros(n, dtype=jnp.uint64).at[seg].add(
-        sorted_b.num.astype(jnp.uint64)
-    ) if jax.config.jax_enable_x64 else jnp.zeros(n, dtype=jnp.uint32).at[seg].add(
-        sorted_b.num
+    sorted_b, _ = sort_batch(batch, field, cfg, count=count)
+    active = (
+        jnp.ones(n, dtype=bool)
+        if count is None
+        else jnp.arange(n, dtype=jnp.int32) < count
     )
-    smin = jnp.full(n, U32_MAX, dtype=jnp.uint32).at[seg].min(sorted_b.num)
-    smax = jnp.zeros(n, dtype=jnp.uint32).at[seg].max(sorted_b.num)
+    new_run = active & ~adjacent_equal(sorted_b, field)
+    seg = jnp.cumsum(new_run.astype(jnp.int32)) - 1
+    act = active.astype(jnp.int32)
+
+    count_agg = jnp.zeros(n, dtype=jnp.int32).at[seg].add(act)
+    ssum = jnp.zeros(n, dtype=jnp.uint32).at[seg].add(
+        jnp.where(active, sorted_b.num, 0)
+    )
+    smin = jnp.full(n, U32_MAX, dtype=jnp.uint32).at[seg].min(
+        jnp.where(active, sorted_b.num, U32_MAX)
+    )
+    smax = jnp.zeros(n, dtype=jnp.uint32).at[seg].max(
+        jnp.where(active, sorted_b.num, 0)
+    )
+    count = count_agg
 
     reps, n_groups = compact(sorted_b, new_run)
     # aggregates are already indexed by segment id == compacted position

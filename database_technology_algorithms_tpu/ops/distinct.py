@@ -18,7 +18,10 @@ the lowest-original-index record (total-order sort in sort.py).
 
 from __future__ import annotations
 
+import functools
+
 import jax
+import jax.numpy as jnp
 
 from ..batch import RecordBatch
 from ..config import DEFAULT_CONFIG, EngineConfig
@@ -28,20 +31,31 @@ from .sort import sort_batch
 
 
 def distinct_sorted(
-    sorted_batch: RecordBatch, field
+    sorted_batch: RecordBatch, field, count: jax.Array | None = None
 ) -> tuple[RecordBatch, jax.Array]:
-    """DISTINCT over an already key-sorted batch. Returns (batch, nunique)."""
+    """DISTINCT over an already key-sorted batch. Returns (batch, nunique).
+
+    With `count`, rows past it are padding (already sorted to the tail by
+    sort_batch) and are never kept.
+    """
     keep = ~adjacent_equal(sorted_batch, field)
+    if count is not None:
+        keep &= jnp.arange(sorted_batch.nrows, dtype=jnp.int32) < count
     return compact(sorted_batch, keep)
 
 
+@functools.partial(jax.jit, static_argnames=("field", "cfg"))
 def distinct(
-    batch: RecordBatch, field, cfg: EngineConfig = DEFAULT_CONFIG
+    batch: RecordBatch,
+    field,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    count: jax.Array | None = None,
 ) -> tuple[RecordBatch, jax.Array]:
     """Sort + DISTINCT (the reference's EliminateDuplicates pipeline).
 
     Returns (batch_with_capacity_N, nunique); rows beyond nunique are zeroed.
     Output rows are in sorted key order, matching the reference's output order.
+    `count` marks live rows under the static-capacity convention.
     """
-    sorted_batch, _ = sort_batch(batch, field, cfg)
-    return distinct_sorted(sorted_batch, field)
+    sorted_batch, _ = sort_batch(batch, field, cfg, count=count)
+    return distinct_sorted(sorted_batch, field, count=count)

@@ -26,6 +26,8 @@ duplicate count for field 3.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -38,19 +40,30 @@ from .sort import sort_batch, sort_perm_extended
 
 
 def build_key_multiset(
-    build: RecordBatch, field, cfg: EngineConfig = DEFAULT_CONFIG
+    build: RecordBatch,
+    field,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    count: jax.Array | None = None,
 ) -> tuple[RecordBatch, jax.Array, jax.Array]:
     """Collapse the build side to (unique-key rows, per-key count, n_unique).
 
     The heir of the reference's hash-table build phase
     (``DatabaseProject.cpp:518-547``) — the map's key set plus, for field 3,
-    the multimap's per-key multiplicity.
+    the multimap's per-key multiplicity.  With `count`, rows past it are
+    padding and contribute nothing.
     """
-    sorted_b, _ = sort_batch(build, field, cfg)
-    new_run = ~adjacent_equal(sorted_b, field)
     n = build.nrows
+    sorted_b, perm = sort_batch(build, field, cfg, count=count)
+    active = (
+        jnp.ones(n, dtype=bool)
+        if count is None
+        else jnp.arange(n, dtype=jnp.int32) < count  # padding sorted to tail
+    )
+    new_run = active & ~adjacent_equal(sorted_b, field)
     seg = jnp.cumsum(new_run.astype(jnp.int32)) - 1  # run id per row
-    counts_per_seg = jnp.zeros(n, dtype=jnp.int32).at[seg].add(1)
+    counts_per_seg = jnp.zeros(n, dtype=jnp.int32).at[seg].add(
+        active.astype(jnp.int32)
+    )
     uniq, n_unique = compact(sorted_b, new_run)
     # counts aligned with uniq rows: per-segment count, compacted like the rows
     dest = jnp.where(new_run, seg, n)
@@ -67,6 +80,7 @@ def probe_multiplicity(
     probe: RecordBatch,
     field,
     cfg: EngineConfig = DEFAULT_CONFIG,
+    probe_count: jax.Array | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Per-probe-row (matched, build_multiplicity).
 
@@ -80,7 +94,10 @@ def probe_multiplicity(
     n = nb + np_
     idx = jnp.arange(n, dtype=jnp.int32)
     side = (idx >= nb).astype(jnp.uint32)  # 0 = build, 1 = probe
-    active = jnp.where(idx < nb, idx < n_build, jnp.ones((), bool))
+    probe_active = (
+        jnp.ones(n, dtype=bool) if probe_count is None else (idx - nb) < probe_count
+    )
+    active = jnp.where(idx < nb, idx < n_build, probe_active)
     inactive_w = (~active).astype(jnp.uint32)
 
     perm = sort_perm_extended(
@@ -94,7 +111,7 @@ def probe_multiplicity(
     head_orig = perm[run_start_pos]  # original index of my run's head row
     head_is_build = (head_orig < nb) & (head_orig < n_build)
 
-    sorted_side_is_probe = side[perm] == 1
+    sorted_side_is_probe = (side[perm] == 1) & active[perm]
     matched_sorted = sorted_side_is_probe & head_is_build
     mult_sorted = jnp.where(
         matched_sorted,
@@ -112,20 +129,27 @@ def probe_multiplicity(
     return matched, mult
 
 
+@functools.partial(jax.jit, static_argnames=("field", "cfg"))
 def hash_join_count(
     build: RecordBatch,
     probe: RecordBatch,
     field,
     cfg: EngineConfig = DEFAULT_CONFIG,
+    build_count: jax.Array | None = None,
+    probe_count: jax.Array | None = None,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Jit-safe core: returns (matched bool[P], mult int32[P], nres).
 
     nres reproduces the reference counter: fields 0-2 count each matched
     probe row once; field 3 counts build-side duplicates per probe row.
+    build_count/probe_count mark live rows under the static-capacity
+    convention (padding rows never build nor match).
     """
     field = canonical_field(field)
-    uniq, counts, n_build = build_key_multiset(build, field, cfg)
-    matched, mult = probe_multiplicity(uniq, counts, n_build, probe, field, cfg)
+    uniq, counts, n_build = build_key_multiset(build, field, cfg, count=build_count)
+    matched, mult = probe_multiplicity(
+        uniq, counts, n_build, probe, field, cfg, probe_count=probe_count
+    )
     if field == FIELD_NUMSTR:
         nres = jnp.sum(mult)
     else:
@@ -134,6 +158,7 @@ def hash_join_count(
     return matched, mult, nres
 
 
+@functools.partial(jax.jit, static_argnames=("field", "cfg"))
 def hash_join(
     build: RecordBatch,
     probe: RecordBatch,

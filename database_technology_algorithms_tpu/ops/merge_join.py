@@ -19,6 +19,8 @@ Padding rows (capacity beyond the live count) sort to the tail via a leading
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -30,6 +32,7 @@ from .keys import rows_equal_on_field
 from .sort import sort_perm_extended
 
 
+@functools.partial(jax.jit, static_argnames=("field", "cfg"))
 def join_sorted_distinct(
     r: RecordBatch,
     r_count: jax.Array,
@@ -68,6 +71,7 @@ def join_sorted_distinct(
     return out, nres
 
 
+@functools.partial(jax.jit, static_argnames=("field", "cfg"))
 def merge_join(
     r: RecordBatch,
     s: RecordBatch,

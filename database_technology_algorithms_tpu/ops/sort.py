@@ -21,6 +21,8 @@ always exact).
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -90,18 +92,29 @@ def sort_perm_extended(
     return jax.lax.cond(needs_full, full_path, fast_path, None)
 
 
+@functools.partial(jax.jit, static_argnames=("field", "cfg"))
 def sort_batch(
-    batch: RecordBatch, field, cfg: EngineConfig = DEFAULT_CONFIG
+    batch: RecordBatch,
+    field,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    count: jax.Array | None = None,
 ) -> tuple[RecordBatch, jax.Array]:
     """Sort a batch by `field`. Returns (sorted_batch, perm). Jit-safe.
 
-    Exact for all four key domains (string fallback included).
+    Exact for all four key domains (string fallback included).  With `count`,
+    only the first `count` rows are live: they are sorted to the front and
+    padding rows sink to the tail regardless of their (zeroed) keys — the
+    static-capacity convention used by the distributed operators.
     """
     field = canonical_field(field)
     n = batch.nrows
     if n <= 1:
         return batch, jnp.arange(n, dtype=jnp.int32)
-    perm = sort_perm_extended(batch, field, cfg)
+    pre = ()
+    if count is not None:
+        inactive = (jnp.arange(n, dtype=jnp.int32) >= count).astype(jnp.uint32)
+        pre = (inactive,)
+    perm = sort_perm_extended(batch, field, cfg, pre_words=pre)
     return batch.take(perm), perm
 
 

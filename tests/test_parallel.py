@@ -1,0 +1,127 @@
+"""Distributed operators on a virtual 8-device CPU mesh.
+
+Contract (SURVEY.md §2.3): whole-table results of every distributed operator
+must equal the single-chip/model results — same pjit/shard_map code path a
+real pod uses (§4c).
+"""
+
+import numpy as np
+import pytest
+
+import model as M
+
+from database_technology_algorithms_tpu.config import EngineConfig
+from database_technology_algorithms_tpu.parallel import (
+    collect,
+    dist_aggregate,
+    dist_distinct,
+    dist_hash_join,
+    dist_sort,
+    distribute,
+    make_mesh,
+)
+
+FIELDS = [0, 1, 2, 3]
+CFG = EngineConfig(shuffle_slack=4.0)
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    return make_mesh()
+
+
+def _sorted_key_tuples(cols, field):
+    keys = M.all_keys(cols, field)
+    return sorted(keys)
+
+
+@pytest.mark.parametrize("field", FIELDS)
+def test_dist_distinct(rng, mesh, field):
+    cols = M.random_cols(rng, 1000, key_range=60)
+    t = distribute(mesh, cols)
+    out, nunique, ovf = dist_distinct(mesh, t, field, CFG)
+    assert int(ovf) == 0
+    _, n_expect = M.model_distinct(cols, field)
+    assert int(nunique) == n_expect
+    got = collect(out)
+    # distinct keys across chips == model's distinct key set
+    got_keys = sorted(M.all_keys(got, field))
+    idx, _ = M.model_distinct(cols, field)
+    expect_keys = sorted(M.key_of(cols, i, field) for i in idx)
+    assert got_keys == expect_keys
+
+
+@pytest.mark.parametrize("field", FIELDS)
+def test_dist_sort(rng, mesh, field):
+    cols = M.random_cols(rng, 1100, key_range=60)
+    t = distribute(mesh, cols)
+    out, ovf = dist_sort(mesh, t, field, CFG)
+    assert int(ovf) == 0
+    got = collect(out)
+    assert len(got["recid"]) == 1100
+    # chips concatenated in order == globally sorted key sequence
+    got_keys = M.all_keys(got, field)
+    assert got_keys == _sorted_key_tuples(cols, field)
+    # multiset of full rows preserved
+    perm = M.model_sort_perm(cols, field)
+    exp = [(int(cols["recid"][i]), int(cols["num"][i]), M.cstr(cols["strs"][i])) for i in perm]
+    got_rows = sorted(
+        (int(got["recid"][i]), int(got["num"][i]), M.cstr(got["strs"][i]))
+        for i in range(1100)
+    )
+    assert got_rows == sorted(exp)
+
+
+@pytest.mark.parametrize("field", FIELDS)
+def test_dist_hash_join(rng, mesh, field):
+    build = M.random_cols(rng, 900, key_range=50)
+    probe = M.random_cols(rng, 1000, key_range=50)
+    tb = distribute(mesh, build)
+    tp = distribute(mesh, probe)
+    out, nres, ovf = dist_hash_join(mesh, tb, tp, field, CFG)
+    assert int(ovf) == 0
+    _, _, m_nres = M.model_hash_join(build, probe, field)
+    assert int(nres) == m_nres
+    if field != 3:
+        got = collect(out)
+        m_matched, _, _ = M.model_hash_join(build, probe, field)
+        keep = [i for i, m in enumerate(m_matched) if m]
+        # emitted rows = matched probe rows (as a multiset across chips)
+        exp = sorted(
+            (int(probe["recid"][i]), int(probe["num"][i]), M.cstr(probe["strs"][i]))
+            for i in keep
+        )
+        gotr = sorted(
+            (int(got["recid"][i]), int(got["num"][i]), M.cstr(got["strs"][i]))
+            for i in range(len(got["recid"]))
+        )
+        assert gotr == exp
+
+
+@pytest.mark.parametrize("field", [1, 2])
+def test_dist_aggregate(rng, mesh, field):
+    cols = M.random_cols(rng, 800, key_range=23)
+    t = distribute(mesh, cols)
+    out, aggs, ovf = dist_aggregate(mesh, t, field, CFG)
+    assert int(ovf) == 0
+    agg_expect, keys_sorted = M.model_group_aggregate(cols, field)
+    got = collect(out)
+    counts = np.asarray(aggs["count"])
+    mins = np.asarray(aggs["min"])
+    per = out.rows_per_chip
+    chip_counts = np.asarray(out.count)
+    assert int(chip_counts.sum()) == len(keys_sorted)
+    # per-group aggregates match the model, keyed by the rep rows
+    # (collected rows are in chip order; agg arrays are per-chip padded)
+    keys_got = M.all_keys(got, field)
+    flat_counts = []
+    flat_mins = []
+    off = 0
+    for d in range(len(chip_counts)):
+        c = chip_counts[d]
+        flat_counts.extend(counts[d * per : d * per + c])
+        flat_mins.extend(mins[d * per : d * per + c])
+    for k, c, mn in zip(keys_got, flat_counts, flat_mins):
+        ec, es, emn, emx = agg_expect[k]
+        assert c == ec and mn == emn
+    assert sorted(keys_got) == keys_sorted
