@@ -103,8 +103,14 @@ def collect(table: DistTable) -> dict:
 
 
 def _shuffle_cap(per_chip_rows: int, ndev: int, cfg: EngineConfig) -> int:
-    """Per-destination slot capacity for one chip's sends."""
-    return max(int(per_chip_rows * cfg.shuffle_slack) // ndev + 1, 8)
+    """Per-destination slot capacity for one chip's sends.
+
+    Keys route whole-key-to-one-destination, so small tables see high
+    variance per (src,dst) bucket — keep a generous floor (bounded by the
+    chip's own row count: it can never send more than it has).
+    """
+    cap = max(int(per_chip_rows * cfg.shuffle_slack) // ndev + 1, 64)
+    return min(cap, max(per_chip_rows, 1))
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,105 @@
+"""External (out-of-core) sort/distinct driver tests."""
+
+import numpy as np
+import pytest
+
+import model as M
+
+from database_technology_algorithms_tpu.external import (
+    SegmentStore,
+    blockfile_chunks,
+    external_sort,
+)
+from database_technology_algorithms_tpu.io.blockfile import write_blockfile
+from database_technology_algorithms_tpu.io.generator import generate_columns
+from database_technology_algorithms_tpu.metrics import OperatorStats
+
+
+def _chunks_of(cols, size):
+    n = len(cols["recid"])
+    for i in range(0, n, size):
+        yield {k: v[i : i + size] for k, v in cols.items()}
+
+
+@pytest.mark.parametrize("field", [0, 1, 2])
+def test_external_sort_matches_model(rng, tmp_path, field):
+    cols = M.random_cols(rng, 3000, key_range=200)
+    stats = OperatorStats()
+    out = list(
+        external_sort(
+            _chunks_of(cols, 512), field, str(tmp_path / "spill"),
+            mem_rows=512, stats=stats,
+        )
+    )
+    merged = {k: np.concatenate([c[k] for c in out]) for k in out[0]}
+    assert len(merged["recid"]) == 3000
+    keys = M.all_keys(merged, field)
+    assert keys == sorted(M.all_keys(cols, field))
+    # multi-segment external run: 2 passes, ceil(3000/512)=6 segments
+    assert stats.nsorted_segs == 6
+    assert stats.npasses == 2
+    assert stats.bytes_host > 0
+
+
+def test_external_sort_single_chunk(rng, tmp_path):
+    cols = M.random_cols(rng, 400, key_range=50)
+    stats = OperatorStats()
+    out = list(
+        external_sort(
+            _chunks_of(cols, 1024), 1, str(tmp_path / "s"), mem_rows=1024,
+            stats=stats,
+        )
+    )
+    assert stats.npasses == 1
+    merged = {k: np.concatenate([c[k] for c in out]) for k in out[0]}
+    assert M.all_keys(merged, 1) == sorted(M.all_keys(cols, 1))
+
+
+@pytest.mark.parametrize("field", [1, 2])
+def test_external_distinct(rng, tmp_path, field):
+    cols = M.random_cols(rng, 2000, key_range=40)
+    out = list(
+        external_sort(
+            _chunks_of(cols, 300), field, str(tmp_path / "d"), mem_rows=300,
+            distinct=True,
+        )
+    )
+    merged = {k: np.concatenate([c[k] for c in out]) for k in out[0]}
+    idx, nunique = M.model_distinct(cols, field)
+    assert len(merged["recid"]) == nunique
+    assert M.all_keys(merged, field) == sorted(set(M.all_keys(cols, field)))
+
+
+def test_external_sort_from_blockfile(rng, tmp_path):
+    cols = generate_columns(20, seed=11)
+    path = str(tmp_path / "in.bin")
+    write_blockfile(path, cols)
+    out = list(
+        external_sort(
+            blockfile_chunks(path, 700), 1, str(tmp_path / "bf"), mem_rows=700
+        )
+    )
+    merged = {k: np.concatenate([c[k] for c in out]) for k in out[0]}
+    nums = merged["num"].astype(np.int64)
+    assert len(nums) == 2000
+    assert np.all(np.diff(nums) >= 0)
+    np.testing.assert_array_equal(np.sort(cols["num"]), merged["num"])
+
+
+def test_external_sort_resume(rng, tmp_path):
+    """Checkpoint/resume: re-running after a partial pass skips spilled
+    segments (the reference's segment files as resumable state, SURVEY §5)."""
+    cols = M.random_cols(rng, 1200, key_range=100)
+    spill = str(tmp_path / "r")
+
+    # run pass 1 manually by consuming the generator only partially
+    gen = external_sort(_chunks_of(cols, 256), 1, spill, mem_rows=256)
+    first = next(gen)
+    del gen  # abandon mid-run: segments + manifest remain on disk
+    store = SegmentStore(spill)
+    assert len(store.manifest["segments"]) >= 1
+
+    # resume: same input stream, same spill dir — completes and is correct
+    out = list(external_sort(_chunks_of(cols, 256), 1, spill, mem_rows=256))
+    merged = {k: np.concatenate([c[k] for c in out]) for k in out[0]}
+    assert M.all_keys(merged, 1) == sorted(M.all_keys(cols, 1))

@@ -125,3 +125,54 @@ def test_dist_aggregate(rng, mesh, field):
         ec, es, emn, emx = agg_expect[k]
         assert c == ec and mn == emn
     assert sorted(keys_got) == keys_sorted
+
+
+# ---------------------------------------------------------------------------
+# skew (heavy-hitter) handling — BASELINE config 4
+# ---------------------------------------------------------------------------
+
+
+def test_skew_join_zipf(rng, mesh):
+    from database_technology_algorithms_tpu.parallel.skew import dist_hash_join_skew
+    from database_technology_algorithms_tpu.parallel import dist_hash_join
+
+    n = 4000
+    build = M.random_cols(rng, 400, key_range=50)
+    probe = M.random_cols(rng, n, key_range=50)
+    # make key 7 a heavy hitter: half of all probe rows
+    hot_rows = rng.random(n) < 0.5
+    probe["num"] = np.where(hot_rows, 7, probe["num"]).astype(np.uint32)
+
+    cfg = EngineConfig(shuffle_slack=1.5, hh_factor=4, hh_topk=8)
+    tb = distribute(mesh, build)
+    tp = distribute(mesh, probe)
+
+    # plain hash-partition overflows its slots on the hot key...
+    _, _, ovf_plain = dist_hash_join(mesh, tb, tp, 1, cfg)
+    assert int(ovf_plain) > 0
+    # ...the skew-aware join does not, and is exact
+    out, nres, ovf, n_hot = dist_hash_join_skew(mesh, tb, tp, 1, cfg)
+    assert int(ovf) == 0
+    assert int(n_hot) >= 1
+    _, _, m_nres = M.model_hash_join(build, probe, 1)
+    assert int(nres) == m_nres
+    # emitted rows: multiset of matched probe rows
+    got = collect(out)
+    m_matched, _, _ = M.model_hash_join(build, probe, 1)
+    keep = [i for i, m in enumerate(m_matched) if m]
+    exp = sorted(zip(probe["recid"][keep].tolist(), probe["num"][keep].tolist()))
+    gotr = sorted(zip(got["recid"].tolist(), got["num"].tolist()))
+    assert gotr == exp
+
+
+def test_skew_join_uniform_matches_plain(rng, mesh):
+    from database_technology_algorithms_tpu.parallel.skew import dist_hash_join_skew
+
+    build = M.random_cols(rng, 500, key_range=70)
+    probe = M.random_cols(rng, 600, key_range=70)
+    cfg = EngineConfig(shuffle_slack=4.0)
+    tb, tp = distribute(mesh, build), distribute(mesh, probe)
+    out, nres, ovf, _ = dist_hash_join_skew(mesh, tb, tp, 2, cfg)
+    assert int(ovf) == 0
+    _, _, m_nres = M.model_hash_join(build, probe, 2)
+    assert int(nres) == m_nres
