@@ -82,8 +82,14 @@ def read_blockfile_numpy(path: str) -> dict:
     return {"recid": recid, "num": num, "strs": strs, "valid": valid}
 
 
-def read_blockfile(path: str) -> RecordBatch:
-    cols = read_blockfile_numpy(path)
+def read_blockfile(path: str, prefer_native: bool = True) -> RecordBatch:
+    cols = None
+    if prefer_native:
+        from .native import read_blockfile_native
+
+        cols = read_blockfile_native(path)
+    if cols is None:
+        cols = read_blockfile_numpy(path)
     return RecordBatch.from_numpy(
         cols["recid"], cols["num"], cols["strs"], cols["valid"], normalize=False
     )
