@@ -91,6 +91,20 @@ class RecordBatch:
             valid=jnp.take(self.valid, idx, axis=0),
         )
 
+    def take_fill(self, idx: jax.Array) -> "RecordBatch":
+        """Gather rows; out-of-range indices yield zero rows.
+
+        Lets sort/compact be fused into ONE payload gather: the caller
+        scatters surviving source indices into a dense prefix (padding = n)
+        and gathers full records exactly once.
+        """
+        return RecordBatch(
+            recid=jnp.take(self.recid, idx, axis=0, mode="fill", fill_value=0),
+            num=jnp.take(self.num, idx, axis=0, mode="fill", fill_value=0),
+            strs=jnp.take(self.strs, idx, axis=0, mode="fill", fill_value=0),
+            valid=jnp.take(self.valid, idx, axis=0, mode="fill", fill_value=False),
+        )
+
     def slice(self, start: int, size: int) -> "RecordBatch":
         return RecordBatch(
             recid=jax.lax.dynamic_slice_in_dim(self.recid, start, size, 0),

@@ -31,18 +31,17 @@ from jax import shard_map
 
 from ..batch import RecordBatch
 from ..config import DEFAULT_CONFIG, EngineConfig
-from ..ops.aggregate import group_aggregate
-from ..ops.distinct import distinct
+from ..ops.aggregate import group_aggregate_impl
+from ..ops.distinct import distinct_impl
 from ..ops.filter import compact
-from ..ops.hash_join import hash_join_count
+from ..ops.hash_join import hash_join_count_impl
 from ..ops.keys import key_hash
-from ..ops.merge_join import join_sorted_distinct
+from ..ops.merge_join import join_sorted_distinct_impl
 from ..parallel.mesh import mesh_size
 from ..parallel.shuffle import shuffle
 
 
-@functools.partial(jax.jit, static_argnames=("field", "cfg"))
-def pipeline_single(
+def pipeline_single_impl(
     r: RecordBatch,
     s: RecordBatch,
     field: int = 1,
@@ -62,19 +61,19 @@ def pipeline_single(
 
     # sort + distinct (EliminateDuplicates on both inputs,
     # DatabaseProject.cpp:393-394)
-    rd, nu_r = distinct(rf, field, cfg, count=rc)
-    sd, nu_s = distinct(sf, field, cfg, count=sc)
+    rd, nu_r = distinct_impl(rf, field, cfg, count=rc)
+    sd, nu_s = distinct_impl(sf, field, cfg, count=sc)
 
     # sorted-intersection join (MergeJoin semantics)
-    mj_out, mj_n = join_sorted_distinct(rd, nu_r, sd, nu_s, field, cfg)
+    mj_out, mj_n = join_sorted_distinct_impl(rd, nu_r, sd, nu_s, field, cfg)
 
     # hash join on the dedup'd inputs (what main.cpp:121 actually runs)
-    _, _, hj_n = hash_join_count(
+    _, _, hj_n = hash_join_count_impl(
         rd, sd, field, cfg, build_count=nu_r, probe_count=nu_s
     )
 
     # hash aggregate over the probe table (BASELINE config 5 tail)
-    _, aggs, n_groups = group_aggregate(sf, field, cfg, count=sc)
+    _, aggs, n_groups = group_aggregate_impl(sf, field, cfg, count=sc)
 
     return {
         "nunique_r": nu_r,
@@ -85,6 +84,11 @@ def pipeline_single(
         "join_out": mj_out,
         "join_count": mj_n,
     }
+
+
+from ..ops._jit import per_static_jit
+
+pipeline_single = per_static_jit(pipeline_single_impl)
 
 
 def make_dist_pipeline(mesh: Mesh, field: int = 1, cfg: EngineConfig = DEFAULT_CONFIG):
@@ -116,13 +120,13 @@ def make_dist_pipeline(mesh: Mesh, field: int = 1, cfg: EngineConfig = DEFAULT_C
         ssh, stot, ovf2 = shuffle(sf, scf, sdest, ax, ndev, cap_s)
 
         # local kernels — identical to the single-chip path
-        rd, nur = distinct(rsh, field, cfg, count=rtot)
-        sd, nus = distinct(ssh, field, cfg, count=stot)
-        mj_out, mjn = join_sorted_distinct(rd, nur, sd, nus, field, cfg)
-        _, _, hjn = hash_join_count(
+        rd, nur = distinct_impl(rsh, field, cfg, count=rtot)
+        sd, nus = distinct_impl(ssh, field, cfg, count=stot)
+        mj_out, mjn = join_sorted_distinct_impl(rd, nur, sd, nus, field, cfg)
+        _, _, hjn = hash_join_count_impl(
             rd, sd, field, cfg, build_count=nur, probe_count=nus
         )
-        _, _, ng = group_aggregate(ssh, field, cfg, count=stot)
+        _, _, ng = group_aggregate_impl(ssh, field, cfg, count=stot)
 
         return {
             "nunique_r": jax.lax.psum(nur, ax),

@@ -20,13 +20,12 @@ from ..batch import RecordBatch
 from ..config import DEFAULT_CONFIG, EngineConfig
 from .filter import compact
 from .keys import adjacent_equal
-from .sort import sort_batch
+from .sort import sort_batch_impl
 
 U32_MAX = jnp.uint32(0xFFFFFFFF)
 
 
-@functools.partial(jax.jit, static_argnames=("field", "cfg"))
-def group_aggregate(
+def group_aggregate_impl(
     batch: RecordBatch,
     field,
     cfg: EngineConfig = DEFAULT_CONFIG,
@@ -40,7 +39,7 @@ def group_aggregate(
     `count` marks live rows (static-capacity convention).
     """
     n = batch.nrows
-    sorted_b, _ = sort_batch(batch, field, cfg, count=count)
+    sorted_b, _ = sort_batch_impl(batch, field, cfg, count=count)
     active = (
         jnp.ones(n, dtype=bool)
         if count is None
@@ -66,3 +65,8 @@ def group_aggregate(
     # aggregates are already indexed by segment id == compacted position
     aggs = {"count": count, "sum": ssum, "min": smin, "max": smax}
     return reps, aggs, n_groups
+
+
+from ._jit import per_static_jit
+
+group_aggregate = per_static_jit(group_aggregate_impl)

@@ -27,7 +27,7 @@ from ..batch import RecordBatch
 from ..config import DEFAULT_CONFIG, EngineConfig
 from .filter import compact
 from .keys import adjacent_equal
-from .sort import sort_batch
+from .sort import sort_batch_impl
 
 
 def distinct_sorted(
@@ -44,8 +44,7 @@ def distinct_sorted(
     return compact(sorted_batch, keep)
 
 
-@functools.partial(jax.jit, static_argnames=("field", "cfg"))
-def distinct(
+def distinct_impl(
     batch: RecordBatch,
     field,
     cfg: EngineConfig = DEFAULT_CONFIG,
@@ -56,6 +55,18 @@ def distinct(
     Returns (batch_with_capacity_N, nunique); rows beyond nunique are zeroed.
     Output rows are in sorted key order, matching the reference's output order.
     `count` marks live rows under the static-capacity convention.
+
+    u32 key domains take the fused fast path (key-only sort + one payload
+    gather, ops/fastpath.py); strings use the exact generic path.
     """
-    sorted_batch, _ = sort_batch(batch, field, cfg, count=count)
+    from .fastpath import distinct_u32, is_u32_field
+
+    if is_u32_field(field):
+        return distinct_u32(batch, field, count=count)
+    sorted_batch, _ = sort_batch_impl(batch, field, cfg, count=count)
     return distinct_sorted(sorted_batch, field, count=count)
+
+
+from ._jit import per_static_jit
+
+distinct = per_static_jit(distinct_impl)

@@ -36,7 +36,7 @@ from ..batch import FIELD_NUMSTR, RecordBatch, canonical_field
 from ..config import DEFAULT_CONFIG, EngineConfig
 from .filter import compact
 from .keys import adjacent_equal, rows_equal_on_field
-from .sort import sort_batch, sort_perm_extended
+from .sort import sort_batch_impl, sort_perm_extended
 
 
 def build_key_multiset(
@@ -53,7 +53,7 @@ def build_key_multiset(
     padding and contribute nothing.
     """
     n = build.nrows
-    sorted_b, perm = sort_batch(build, field, cfg, count=count)
+    sorted_b, perm = sort_batch_impl(build, field, cfg, count=count)
     active = (
         jnp.ones(n, dtype=bool)
         if count is None
@@ -129,8 +129,7 @@ def probe_multiplicity(
     return matched, mult
 
 
-@functools.partial(jax.jit, static_argnames=("field", "cfg"))
-def hash_join_count(
+def hash_join_count_impl(
     build: RecordBatch,
     probe: RecordBatch,
     field,
@@ -146,6 +145,12 @@ def hash_join_count(
     convention (padding rows never build nor match).
     """
     field = canonical_field(field)
+    from .fastpath import hash_join_count_u32, is_u32_field
+
+    if is_u32_field(field):
+        return hash_join_count_u32(
+            build, probe, field, build_count=build_count, probe_count=probe_count
+        )
     uniq, counts, n_build = build_key_multiset(build, field, cfg, count=build_count)
     matched, mult = probe_multiplicity(
         uniq, counts, n_build, probe, field, cfg, probe_count=probe_count
@@ -158,8 +163,12 @@ def hash_join_count(
     return matched, mult, nres
 
 
-@functools.partial(jax.jit, static_argnames=("field", "cfg"))
-def hash_join(
+from ._jit import per_static_jit
+
+hash_join_count = per_static_jit(hash_join_count_impl)
+
+
+def hash_join_impl(
     build: RecordBatch,
     probe: RecordBatch,
     field,
@@ -172,9 +181,12 @@ def hash_join(
     ``hash_join_count``/``materialize_field3`` when the reference's
     row-repetition output is required.
     """
-    matched, _, nres = hash_join_count(build, probe, field, cfg)
+    matched, _, nres = hash_join_count_impl(build, probe, field, cfg)
     out, _ = compact(probe, matched)
     return out, nres
+
+
+hash_join = per_static_jit(hash_join_impl)
 
 
 def materialize_field3(

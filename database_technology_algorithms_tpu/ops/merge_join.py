@@ -26,14 +26,13 @@ import jax.numpy as jnp
 
 from ..batch import RecordBatch
 from ..config import DEFAULT_CONFIG, EngineConfig
-from .distinct import distinct
+from .distinct import distinct_impl
 from .filter import compact
 from .keys import rows_equal_on_field
 from .sort import sort_perm_extended
 
 
-@functools.partial(jax.jit, static_argnames=("field", "cfg"))
-def join_sorted_distinct(
+def join_sorted_distinct_impl(
     r: RecordBatch,
     r_count: jax.Array,
     s: RecordBatch,
@@ -41,11 +40,20 @@ def join_sorted_distinct(
     field,
     cfg: EngineConfig = DEFAULT_CONFIG,
 ) -> tuple[RecordBatch, jax.Array]:
-    """Intersect two batches whose first r_count/s_count rows hold unique keys.
+    """Intersect two batches whose first r_count/s_count rows hold unique
+    keys in sorted key order (i.e. distinct() outputs).
 
     Returns (r_matched, nres): R rows whose key also appears in S, in R's
     order, compacted to the front of an R-capacity batch.
+
+    u32 key domains probe S via searchsorted (no concat sort, one fused
+    payload gather); strings use the exact sorted-concat path (which only
+    needs unique, not sorted, inputs).
     """
+    from .fastpath import intersect_sorted_unique_u32, is_u32_field
+
+    if is_u32_field(field):
+        return intersect_sorted_unique_u32(r, r_count, s, s_count, field)
     nr, ns = r.nrows, s.nrows
     both = RecordBatch.concat([r, s])
     n = nr + ns
@@ -71,8 +79,12 @@ def join_sorted_distinct(
     return out, nres
 
 
-@functools.partial(jax.jit, static_argnames=("field", "cfg"))
-def merge_join(
+from ._jit import per_static_jit
+
+join_sorted_distinct = per_static_jit(join_sorted_distinct_impl)
+
+
+def merge_join_impl(
     r: RecordBatch,
     s: RecordBatch,
     field,
@@ -82,7 +94,10 @@ def merge_join(
 
     Returns (r_matched_batch, nres, stats_dict with nunique_r/nunique_s).
     """
-    r_d, nu_r = distinct(r, field, cfg)
-    s_d, nu_s = distinct(s, field, cfg)
-    out, nres = join_sorted_distinct(r_d, nu_r, s_d, nu_s, field, cfg)
+    r_d, nu_r = distinct_impl(r, field, cfg)
+    s_d, nu_s = distinct_impl(s, field, cfg)
+    out, nres = join_sorted_distinct_impl(r_d, nu_r, s_d, nu_s, field, cfg)
     return out, nres, {"nunique_r": nu_r, "nunique_s": nu_s}
+
+
+merge_join = per_static_jit(merge_join_impl)

@@ -92,8 +92,7 @@ def sort_perm_extended(
     return jax.lax.cond(needs_full, full_path, fast_path, None)
 
 
-@functools.partial(jax.jit, static_argnames=("field", "cfg"))
-def sort_batch(
+def sort_batch_impl(
     batch: RecordBatch,
     field,
     cfg: EngineConfig = DEFAULT_CONFIG,
@@ -116,6 +115,11 @@ def sort_batch(
         pre = (inactive,)
     perm = sort_perm_extended(batch, field, cfg, pre_words=pre)
     return batch.take(perm), perm
+
+
+from ._jit import per_static_jit
+
+sort_batch = per_static_jit(sort_batch_impl)
 
 
 def sort_perm(batch: RecordBatch, field, cfg: EngineConfig = DEFAULT_CONFIG) -> jax.Array:

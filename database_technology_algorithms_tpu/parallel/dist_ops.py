@@ -28,10 +28,10 @@ from jax import shard_map
 
 from ..batch import RecordBatch
 from ..config import DEFAULT_CONFIG, EngineConfig
-from ..ops.aggregate import group_aggregate as local_group_aggregate
-from ..ops.distinct import distinct as local_distinct
-from ..ops.hash_join import hash_join_count as local_hash_join_count
-from ..ops.sort import sort_batch as local_sort_batch
+from ..ops.aggregate import group_aggregate_impl as local_group_aggregate
+from ..ops.distinct import distinct_impl as local_distinct
+from ..ops.hash_join import hash_join_count_impl as local_hash_join_count
+from ..ops.sort import sort_batch_impl as local_sort_batch
 from ..ops.filter import compact
 from ..ops.keys import key_hash, key_words
 from .mesh import mesh_size

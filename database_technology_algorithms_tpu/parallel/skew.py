@@ -32,9 +32,9 @@ from jax import shard_map
 
 from ..batch import RecordBatch
 from ..config import DEFAULT_CONFIG, EngineConfig
-from ..ops.distinct import distinct
+from ..ops.distinct import distinct_impl
 from ..ops.filter import compact
-from ..ops.hash_join import hash_join_count
+from ..ops.hash_join import hash_join_count_impl
 from ..ops.keys import key_hash
 from .dist_ops import DistTable, _shuffle_cap
 from .mesh import mesh_size
@@ -145,7 +145,7 @@ def dist_hash_join_skew(
         # semi-join build is a key set: local dedup bounds the per-chip hot
         # contribution to (#hot keys) <= ndev*topk <= cap_hot, so the
         # broadcast can never overflow under build-side skew either
-        bhot_rows, bhot_n = distinct(bhot_rows, field, cfg, count=bhot_n)
+        bhot_rows, bhot_n = distinct_impl(bhot_rows, field, cfg, count=bhot_n)
         bhot_slice = bhot_rows.slice(0, min(cap_hot, bhot_rows.nrows))
         hot_ovf = jnp.maximum(bhot_n - cap_hot, 0)
         gathered = RecordBatch(
@@ -161,7 +161,7 @@ def dist_hash_join_skew(
         gidx = jnp.arange(ndev * cap_hot)
         g_active = (gidx % cap_hot) < gcounts[gidx // cap_hot]
         ghot, gn = compact(gathered, g_active)
-        matched_hot, _, _ = hash_join_count(
+        matched_hot, _, _ = hash_join_count_impl(
             ghot, pb, field, cfg, build_count=gn,
             probe_count=None,
         )
@@ -176,7 +176,7 @@ def dist_hash_join_skew(
         pdest = key_hash(pcold, field) % jnp.uint32(ndev)
         brecv, btot, ovf1 = shuffle(bcold, bcold_n, bdest, ax, ndev, cap_b)
         precv, ptot, ovf2 = shuffle(pcold, pcold_n, pdest, ax, ndev, cap_p)
-        matched_cold, _, _ = hash_join_count(
+        matched_cold, _, _ = hash_join_count_impl(
             brecv, precv, field, cfg, build_count=btot, probe_count=ptot
         )
 
