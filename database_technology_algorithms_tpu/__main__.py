@@ -1,19 +1,18 @@
 """CLI driver — the heir of the reference's benchmark driver (main.cpp:20-136).
 
-Reproduces the reference pipeline end-to-end on the TPU engine:
+Subcommands mirror the reference's four-operator API (dbtproj.h:55-96) plus
+its composed benchmark pipeline:
 
-    python -m database_technology_algorithms_tpu --nblocks 600 --field 1
+    pipeline   generate two files, MergeJoin + HashJoin, cross-check counts
+               (the reference main.cpp flow; --dist N runs it on an N-device
+               mesh with the hash-partition shuffle)
+    mergesort  external sort a block file (bounded memory, spill segments)
+    elimdup    DISTINCT a block file (clean semantics: no tail-drop)
+    mergejoin  sort-merge join two block files (distinct-key intersection)
+    hashjoin   hash semi-join two block files (probe-side rows)
 
-1. generate two block files (same distributional shape as main.cpp:41-77,
-   but seeded — the reference used time(0));
-2. MergeJoin(file1, file2)  — sort → distinct → sorted-intersection;
-3. HashJoin on the dedup'd inputs (the reference runs it on MergeJoin's
-   intermediate "1outfile.bin"/"2outfile.bin", main.cpp:121);
-4. print both pair counts — the reference's own correctness oracle is that
-   they agree (verified 167,299 @ 600k rows in BASELINE.md).
-
-Unlike the reference, also writes honest output block files and structured
-stats.
+All commands read/write the reference's binary block format and print a
+stats JSON line (the dbtproj.h stats-out parameters).
 """
 
 from __future__ import annotations
@@ -24,25 +23,16 @@ import os
 import time
 
 
-def main() -> int:
-    p = argparse.ArgumentParser(
-        prog="database_technology_algorithms_tpu",
-        description="TPU-native query engine demo driver (reference main.cpp parity)",
-    )
-    p.add_argument("--nblocks", type=int, default=600, help="blocks per input file (100 rows each)")
-    p.add_argument("--field", default="1", help="join field: 0=recid 1=num 2=str 3=num+str")
-    p.add_argument("--seed", type=int, default=42)
-    p.add_argument("--workdir", default=".", help="where input/output .bin files go")
-    p.add_argument("--platform", default=None, help="force jax platform (e.g. cpu)")
-    p.add_argument("--skip-files", action="store_true", help="keep data in memory, no .bin round-trip")
-    args = p.parse_args()
-
-    if args.platform:
-        import jax
-
-        jax.config.update("jax_platforms", args.platform)
+def _setup_jax(platform):
     import jax
 
+    if platform:
+        jax.config.update("jax_platforms", platform)
+    return jax
+
+
+def cmd_pipeline(args) -> int:
+    jax = _setup_jax(args.platform)
     from .batch import canonical_field
     from .io.blockfile import read_blockfile, write_blockfile
     from .io.generator import generate_batch, generate_pair_files
@@ -64,6 +54,9 @@ def main() -> int:
         r, s = read_blockfile(f1), read_blockfile(f2)
     print(f"[gen] done in {time.time() - t0:.2f}s on {jax.devices()[0].platform}")
 
+    if args.dist:
+        return _pipeline_dist(args, r, s, field)
+
     print("\n--------------MERGE JOIN-------------------")
     t1 = time.time()
     r_d, nu_r = distinct(r, field)
@@ -75,14 +68,11 @@ def main() -> int:
     print(f"PAIRS IN THE OUTPUT: {nres} OUT OF {r.nrows}")
     print(f"[mergejoin] {dt:.3f}s  ({r.nrows / dt:,.0f} rows/s)")
     if not args.skip_files:
-        write_blockfile(
-            os.path.join(args.workdir, "outmerge.bin"), truncate(out, nres)
-        )
+        write_blockfile(os.path.join(args.workdir, "outmerge.bin"), truncate(out, nres))
 
     print("\n--------------HASH JOIN-------------------")
-    # reference runs HashJoin on the dedup'd intermediates (main.cpp:121)
     t2 = time.time()
-    r_dt, s_dt = truncate(r_d, nu_r), truncate(s_d, nu_s)
+    r_dt, s_dt = truncate(r_d, int(nu_r)), truncate(s_d, int(nu_s))
     hout, hres = hash_join(r_dt, s_dt, field)
     hres = int(hres)
     dt2 = time.time() - t2
@@ -110,6 +100,222 @@ def main() -> int:
         print("ERROR: join counts disagree (reference oracle violated)")
         return 1
     return 0
+
+
+def _pipeline_dist(args, r, s, field) -> int:
+    import jax
+
+    from .config import EngineConfig
+    from .models.pipeline import make_dist_pipeline
+    from .parallel.dist_ops import distribute
+    from .parallel.mesh import make_mesh
+
+    n = args.dist
+    devices = jax.devices()
+    if len(devices) < n:
+        print(f"ERROR: asked for {n} devices, have {len(devices)}")
+        return 1
+    mesh = make_mesh(devices=devices[:n])
+    cfg = EngineConfig(shuffle_slack=4.0)
+    step = make_dist_pipeline(mesh, field, cfg)
+    t1 = distribute(mesh, r.to_numpy())
+    t2 = distribute(mesh, s.to_numpy())
+    t0 = time.time()
+    out = step(t1.batch, t1.count, t2.batch, t2.count)
+    jax.block_until_ready(out)
+    dt = time.time() - t0
+    agree = int(out["merge_nres"]) == int(out["hash_nres"])
+    print(
+        json.dumps(
+            {
+                "mesh_devices": n,
+                "field": field,
+                "merge_join_pairs": int(out["merge_nres"]),
+                "hash_join_pairs": int(out["hash_nres"]),
+                "joins_agree": agree,
+                "nunique_r": int(out["nunique_r"]),
+                "nunique_s": int(out["nunique_s"]),
+                "overflow": int(out["overflow"]),
+                "wall_s": round(dt, 4),
+            }
+        )
+    )
+    return 0 if agree and int(out["overflow"]) == 0 else 1
+
+
+def cmd_mergesort(args) -> int:
+    _setup_jax(args.platform)
+    import numpy as np
+
+    from .batch import canonical_field
+    from .external import blockfile_chunks, external_sort
+    from .io.blockfile import write_blockfile
+    from .metrics import OperatorStats
+
+    field = canonical_field(args.field)
+    stats = OperatorStats(op="mergesort")
+    mem_rows = args.mem_blocks * 100
+    spill = os.path.join(args.workdir, "spill")
+    out_chunks = list(
+        external_sort(
+            blockfile_chunks(args.infile, mem_rows), field, spill,
+            mem_rows=mem_rows, stats=stats,
+        )
+    )
+    cols = {
+        k: np.concatenate([c[k] for c in out_chunks])
+        for k in out_chunks[0]
+    } if out_chunks else {}
+    if cols:
+        write_blockfile(args.outfile, cols)
+    print(
+        json.dumps(
+            {
+                "nsorted_segs": stats.nsorted_segs,
+                "npasses": stats.npasses,
+                "rows": stats.rows_in,
+                "bytes_host": stats.bytes_host,
+                "wall_s": round(stats.wall_s, 4),
+            }
+        )
+    )
+    return 0
+
+
+def cmd_elimdup(args) -> int:
+    _setup_jax(args.platform)
+    from .batch import canonical_field
+    from .io.blockfile import read_blockfile, write_blockfile
+    from .ops.distinct import distinct
+    from .ops.filter import truncate
+
+    field = canonical_field(args.field)
+    batch = read_blockfile(args.infile)
+    t0 = time.time()
+    out, nunique = distinct(batch, field)
+    nunique = int(nunique)
+    write_blockfile(args.outfile, truncate(out, nunique))
+    print(
+        json.dumps(
+            {"nunique": nunique, "rows": batch.nrows, "wall_s": round(time.time() - t0, 4)}
+        )
+    )
+    return 0
+
+
+def cmd_mergejoin(args) -> int:
+    _setup_jax(args.platform)
+    from .batch import canonical_field
+    from .io.blockfile import read_blockfile, write_blockfile
+    from .ops.filter import truncate
+    from .ops.merge_join import merge_join
+
+    field = canonical_field(args.field)
+    r = read_blockfile(args.infile1)
+    s = read_blockfile(args.infile2)
+    t0 = time.time()
+    out, nres, st = merge_join(r, s, field)
+    nres = int(nres)
+    write_blockfile(args.outfile, truncate(out, nres))
+    print(
+        json.dumps(
+            {
+                "nres": nres,
+                "nunique_r": int(st["nunique_r"]),
+                "nunique_s": int(st["nunique_s"]),
+                "wall_s": round(time.time() - t0, 4),
+            }
+        )
+    )
+    return 0
+
+
+def cmd_hashjoin(args) -> int:
+    _setup_jax(args.platform)
+    import numpy as np
+
+    from .batch import canonical_field
+    from .io.blockfile import read_blockfile, write_blockfile
+    from .ops.filter import truncate
+    from .ops.hash_join import hash_join, hash_join_count, materialize_field3
+
+    field = canonical_field(args.field)
+    build = read_blockfile(args.infile1)
+    probe = read_blockfile(args.infile2)
+    t0 = time.time()
+    if field == 3:
+        matched, mult, nres = hash_join_count(build, probe, field)
+        out = materialize_field3(probe, np.asarray(matched), np.asarray(mult))
+        write_blockfile(args.outfile, out)
+        nres = int(nres)
+    else:
+        out, nres = hash_join(build, probe, field)
+        nres = int(nres)
+        write_blockfile(args.outfile, truncate(out, nres))
+    print(json.dumps({"nres": nres, "wall_s": round(time.time() - t0, 4)}))
+    return 0
+
+
+def main() -> int:
+    p = argparse.ArgumentParser(
+        prog="database_technology_algorithms_tpu",
+        description="TPU-native query engine (reference-parity CLI)",
+    )
+    p.add_argument("--platform", default=None, help="force jax platform (e.g. cpu)")
+    sub = p.add_subparsers(dest="cmd")
+
+    pp = sub.add_parser("pipeline", help="reference main.cpp benchmark flow")
+    pp.add_argument("--nblocks", type=int, default=600)
+    pp.add_argument("--field", default="1")
+    pp.add_argument("--seed", type=int, default=42)
+    pp.add_argument("--workdir", default=".")
+    pp.add_argument("--skip-files", action="store_true")
+    pp.add_argument("--dist", type=int, default=0, help="run on an N-device mesh")
+    pp.set_defaults(fn=cmd_pipeline)
+
+    ms = sub.add_parser("mergesort", help="external sort a block file")
+    ms.add_argument("infile")
+    ms.add_argument("outfile")
+    ms.add_argument("--field", default="1")
+    ms.add_argument("--mem-blocks", type=int, default=10000,
+                    help="memory budget in 100-row blocks (nmem_blocks heir)")
+    ms.add_argument("--workdir", default=".")
+    ms.set_defaults(fn=cmd_mergesort)
+
+    ed = sub.add_parser("elimdup", help="DISTINCT a block file")
+    ed.add_argument("infile")
+    ed.add_argument("outfile")
+    ed.add_argument("--field", default="1")
+    ed.set_defaults(fn=cmd_elimdup)
+
+    mj = sub.add_parser("mergejoin", help="sort-merge join two block files")
+    mj.add_argument("infile1")
+    mj.add_argument("infile2")
+    mj.add_argument("outfile")
+    mj.add_argument("--field", default="1")
+    mj.set_defaults(fn=cmd_mergejoin)
+
+    hj = sub.add_parser("hashjoin", help="hash semi-join two block files")
+    hj.add_argument("infile1")
+    hj.add_argument("infile2")
+    hj.add_argument("outfile")
+    hj.add_argument("--field", default="1")
+    hj.set_defaults(fn=cmd_hashjoin)
+
+    # back-compat: bare invocation == pipeline
+    args, extra = p.parse_known_args()
+    if args.cmd is None:
+        pp2 = argparse.ArgumentParser()
+        pp2.add_argument("--platform", default=None)
+        pp2.add_argument("--nblocks", type=int, default=600)
+        pp2.add_argument("--field", default="1")
+        pp2.add_argument("--seed", type=int, default=42)
+        pp2.add_argument("--workdir", default=".")
+        pp2.add_argument("--skip-files", action="store_true")
+        pp2.add_argument("--dist", type=int, default=0)
+        args = pp2.parse_args()
+        return cmd_pipeline(args)
+    return args.fn(args)
 
 
 if __name__ == "__main__":

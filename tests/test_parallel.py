@@ -176,3 +176,39 @@ def test_skew_join_uniform_matches_plain(rng, mesh):
     assert int(ovf) == 0
     _, _, m_nres = M.model_hash_join(build, probe, 2)
     assert int(nres) == m_nres
+
+
+# ---------------------------------------------------------------------------
+# 2-D ('host','chip') mesh — the multi-host pod shape (DCN on 'host'); same
+# operator code, two collective axes (SURVEY.md §7 M4 path, CPU-simulated)
+# ---------------------------------------------------------------------------
+
+
+def test_host_chip_mesh_ops(rng):
+    from database_technology_algorithms_tpu.parallel import make_host_chip_mesh
+    from database_technology_algorithms_tpu.models.pipeline import make_dist_pipeline
+    from database_technology_algorithms_tpu.models.pipeline import pipeline_single
+
+    mesh2d = make_host_chip_mesh(n_hosts=4, chips_per_host=2)
+    assert mesh2d.axis_names == ("host", "chip")
+    c1 = M.random_cols(rng, 800, key_range=60)
+    c2 = M.random_cols(rng, 700, key_range=60)
+    t1, t2 = distribute(mesh2d, c1), distribute(mesh2d, c2)
+    step = make_dist_pipeline(mesh2d, 1, CFG)
+    out = step(t1.batch, t1.count, t2.batch, t2.count)
+    assert int(out["overflow"]) == 0
+    single = pipeline_single(M.to_batch(c1), M.to_batch(c2), 1, CFG)
+    for k in ("nunique_r", "nunique_s", "merge_nres", "hash_nres", "agg_groups"):
+        assert int(out[k]) == int(single[k]), k
+
+
+def test_host_chip_mesh_dist_ops(rng):
+    from database_technology_algorithms_tpu.parallel import make_host_chip_mesh
+
+    mesh2d = make_host_chip_mesh(n_hosts=2, chips_per_host=4)
+    cols = M.random_cols(rng, 900, key_range=70)
+    t = distribute(mesh2d, cols)
+    out, nunique, ovf = dist_distinct(mesh2d, t, 1, CFG)
+    assert int(ovf) == 0
+    _, n_expect = M.model_distinct(cols, 1)
+    assert int(nunique) == n_expect
