@@ -7,26 +7,29 @@ fixed 140-byte row structs packed into 14,016-byte blocks of 100 records
     record_t { recid u32; num u32; str char[120]; valid bool; dummy1/2 u32 }
     block_t  { blockid u32; nreserved u32; entries[100]; valid; misc; dummy }
 
-A row-struct (AoS) layout is hostile to a vector machine: every kernel would
-stride 140 bytes to touch a 4-byte key.  Here the same logical schema is a
-**structure-of-arrays** pytree living in HBM:
+Device layout here is a **structure-of-arrays over 32-bit lanes**:
 
     recid : uint32[N]
     num   : uint32[N]
-    strs  : uint8[N, 128]   (str bytes, NUL-normalized, zero-padded 120 -> 128)
+    strw  : uint32[N, 32]   string bytes packed big-endian, 4 per word,
+                            NUL-normalized, zero-padded 120 -> 128 bytes
     valid : bool[N]
 
-128 = STR_PAD keeps the trailing axis lane-aligned (TPU lane width is 128).
-``dummy1/dummy2`` are scratch fields in the reference (it abuses them to store
-heap provenance, ``DatabaseProject.cpp:279,307``) and carry no data — they do
-not exist here.
+Why words, not bytes: this TPU executes ``lax.sort`` at near-memory speed but
+random gather/scatter at ~0.25 GB/s (measured: 1M-row gather = 32 ms vs
+key sort = 0.1 ms).  The engine therefore moves records *through sorts* —
+every column rides along as a sort operand — and u32 words are the lane-
+native unit for that.  Big-endian packing makes word-lexicographic order ==
+bytewise order == ``strcmp`` order (C11 7.24.4 compares unsigned chars;
+NUL-normalization at ingest zeroes the garbage the reference leaves after
+the terminator, main.cpp:49).
 
-NUL-normalization: the reference compares strings with ``strcmp``
-(``DatabaseProject.cpp:61-67``), which stops at the first NUL; bytes after it
-are uninitialized garbage on disk (the generator ``strcpy``s short strings over
-a reused struct, ``main.cpp:49``).  We zero everything from the first NUL
-onward at ingest so that plain bytewise comparison of the full 128-byte row
-equals ``strcmp`` order/equality (C11 mandates unsigned-char comparison).
+``dummy1/dummy2`` are scratch fields in the reference (it abuses them for
+heap provenance, ``DatabaseProject.cpp:279,307``) and carry no data.
+
+Host-side column dicts (IO, tests, the parity oracle) keep the byte view:
+``strs`` as uint8[N,128]; the boundary conversion is a zero-copy
+numpy view (big-endian u32 reinterpret).
 """
 
 from __future__ import annotations
@@ -39,7 +42,8 @@ import jax.numpy as jnp
 import numpy as np
 
 STR_LENGTH = 120  # matches reference STR_LENGTH, dbtproj.h:16
-STR_PAD = 128  # lane-aligned storage width on device
+STR_PAD = 128  # lane-aligned storage width on device (bytes)
+STR_WORDS = STR_PAD // 4  # 32 u32 words per string
 MAX_RECORDS_PER_BLOCK = 100  # dbtproj.h:17
 
 # Field selectors. The reference API takes *char* field codes '0'..'3'
@@ -65,6 +69,34 @@ def canonical_field(field) -> int:
         raise ValueError(f"invalid field selector {field!r}; expected 0..3") from None
 
 
+def pack_str_bytes(strs_u8: np.ndarray) -> np.ndarray:
+    """Host: uint8[N,128] -> big-endian uint32[N,32] (zero-copy view)."""
+    strs_u8 = np.ascontiguousarray(strs_u8, dtype=np.uint8)
+    return strs_u8.view(">u4").astype(np.uint32)
+
+
+def unpack_str_words(strw: np.ndarray) -> np.ndarray:
+    """Host: uint32[N,32] -> uint8[N,128]."""
+    return np.ascontiguousarray(strw, dtype=np.uint32).astype(">u4").view(np.uint8).reshape(-1, STR_PAD)
+
+
+def pack_str_words_device(strs_u8: jax.Array) -> jax.Array:
+    """Device: uint8[N,128] -> big-endian uint32[N,32]."""
+    n = strs_u8.shape[0]
+    b = strs_u8.astype(jnp.uint32).reshape(n, STR_WORDS, 4)
+    return (b[..., 0] << 24) | (b[..., 1] << 16) | (b[..., 2] << 8) | b[..., 3]
+
+
+def unpack_str_words_device(strw: jax.Array) -> jax.Array:
+    """Device: uint32[N,32] -> uint8[N,128]."""
+    n = strw.shape[0]
+    b = jnp.stack(
+        [(strw >> 24) & 0xFF, (strw >> 16) & 0xFF, (strw >> 8) & 0xFF, strw & 0xFF],
+        axis=-1,
+    )
+    return b.astype(jnp.uint8).reshape(n, STR_PAD)
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class RecordBatch:
@@ -72,7 +104,7 @@ class RecordBatch:
 
     recid: jax.Array  # uint32[N]
     num: jax.Array  # uint32[N]
-    strs: jax.Array  # uint8[N, STR_PAD], NUL-normalized
+    strw: jax.Array  # uint32[N, STR_WORDS], big-endian packed, NUL-normalized
     valid: jax.Array  # bool[N]
 
     @property
@@ -82,26 +114,39 @@ class RecordBatch:
     def __len__(self) -> int:
         return self.nrows
 
+    def payload_words(self) -> list[jax.Array]:
+        """Every column as u32 sort operands (the movement representation)."""
+        return [
+            self.recid,
+            self.num,
+            self.valid.astype(jnp.uint32),
+        ] + [self.strw[:, j] for j in range(STR_WORDS)]
+
+    @staticmethod
+    def from_payload_words(words: list[jax.Array]) -> "RecordBatch":
+        recid, num, valid = words[0], words[1], words[2]
+        strw = jnp.stack(words[3 : 3 + STR_WORDS], axis=1)
+        return RecordBatch(
+            recid=recid, num=num, strw=strw, valid=valid.astype(bool)
+        )
+
     def take(self, idx: jax.Array) -> "RecordBatch":
-        """Gather rows by index (the SoA analogue of a record memcpy)."""
+        """Gather rows by index. NOTE: random gathers are slow on TPU
+        (~32 ns/row measured); prefer ops/movement.py sort-based movement
+        on the hot path."""
         return RecordBatch(
             recid=jnp.take(self.recid, idx, axis=0),
             num=jnp.take(self.num, idx, axis=0),
-            strs=jnp.take(self.strs, idx, axis=0),
+            strw=jnp.take(self.strw, idx, axis=0),
             valid=jnp.take(self.valid, idx, axis=0),
         )
 
     def take_fill(self, idx: jax.Array) -> "RecordBatch":
-        """Gather rows; out-of-range indices yield zero rows.
-
-        Lets sort/compact be fused into ONE payload gather: the caller
-        scatters surviving source indices into a dense prefix (padding = n)
-        and gathers full records exactly once.
-        """
+        """Gather rows; out-of-range indices yield zero rows. Same caveat."""
         return RecordBatch(
             recid=jnp.take(self.recid, idx, axis=0, mode="fill", fill_value=0),
             num=jnp.take(self.num, idx, axis=0, mode="fill", fill_value=0),
-            strs=jnp.take(self.strs, idx, axis=0, mode="fill", fill_value=0),
+            strw=jnp.take(self.strw, idx, axis=0, mode="fill", fill_value=0),
             valid=jnp.take(self.valid, idx, axis=0, mode="fill", fill_value=False),
         )
 
@@ -109,7 +154,7 @@ class RecordBatch:
         return RecordBatch(
             recid=jax.lax.dynamic_slice_in_dim(self.recid, start, size, 0),
             num=jax.lax.dynamic_slice_in_dim(self.num, start, size, 0),
-            strs=jax.lax.dynamic_slice_in_dim(self.strs, start, size, 0),
+            strw=jax.lax.dynamic_slice_in_dim(self.strw, start, size, 0),
             valid=jax.lax.dynamic_slice_in_dim(self.valid, start, size, 0),
         )
 
@@ -118,7 +163,7 @@ class RecordBatch:
         return RecordBatch(
             recid=jnp.concatenate([b.recid for b in batches]),
             num=jnp.concatenate([b.num for b in batches]),
-            strs=jnp.concatenate([b.strs for b in batches]),
+            strw=jnp.concatenate([b.strw for b in batches]),
             valid=jnp.concatenate([b.valid for b in batches]),
         )
 
@@ -128,12 +173,14 @@ class RecordBatch:
     def from_numpy(
         recid: np.ndarray,
         num: np.ndarray,
-        strs: np.ndarray,
+        strs: Optional[np.ndarray] = None,
         valid: Optional[np.ndarray] = None,
         normalize: bool = True,
     ) -> "RecordBatch":
-        """Build a batch from host arrays. `strs` is uint8[N, 120 or 128]."""
+        """Build a batch from host arrays. `strs` is uint8[N, <=128] bytes."""
         n = recid.shape[0]
+        if strs is None:
+            strs = np.zeros((n, STR_PAD), dtype=np.uint8)
         if strs.shape[1] < STR_PAD:
             padded = np.zeros((n, STR_PAD), dtype=np.uint8)
             padded[:, : strs.shape[1]] = strs
@@ -145,21 +192,22 @@ class RecordBatch:
         return RecordBatch(
             recid=jnp.asarray(recid, dtype=jnp.uint32),
             num=jnp.asarray(num, dtype=jnp.uint32),
-            strs=jnp.asarray(strs, dtype=jnp.uint8),
+            strw=jnp.asarray(pack_str_bytes(strs)),
             valid=jnp.asarray(valid, dtype=bool),
         )
 
     def to_numpy(self) -> dict:
+        """Host columns with the byte-view string column (`strs` u8[N,128])."""
         return {
             "recid": np.asarray(self.recid),
             "num": np.asarray(self.num),
-            "strs": np.asarray(self.strs),
+            "strs": unpack_str_words(np.asarray(self.strw)),
             "valid": np.asarray(self.valid),
         }
 
     def str_list(self) -> list[bytes]:
         """Decode strings to python bytes (up to first NUL) — for tests/debug."""
-        raw = np.asarray(self.strs[:, :STR_LENGTH])
+        raw = self.to_numpy()["strs"][:, :STR_LENGTH]
         out = []
         for row in raw:
             nz = np.nonzero(row == 0)[0]
@@ -180,7 +228,7 @@ def normalize_str_bytes(strs: np.ndarray) -> np.ndarray:
 
 
 def normalize_str_bytes_device(strs: jax.Array) -> jax.Array:
-    """Device-side NUL-normalization (same contract as normalize_str_bytes)."""
+    """Device-side NUL-normalization over a byte view."""
     keep = jnp.cumprod((strs != 0).astype(jnp.uint8), axis=1).astype(bool)
     return jnp.where(keep, strs, jnp.uint8(0))
 

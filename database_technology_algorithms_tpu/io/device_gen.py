@@ -14,7 +14,12 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from ..batch import MAX_RECORDS_PER_BLOCK, STR_PAD, RecordBatch
+from ..batch import (
+    MAX_RECORDS_PER_BLOCK,
+    STR_PAD,
+    RecordBatch,
+    pack_str_words_device,
+)
 
 
 @functools.partial(jax.jit, static_argnames=("n", "key_range", "zipf_s", "str_len"))
@@ -47,4 +52,6 @@ def generate_device_batch(
     is_hola = (jnp.arange(n) % MAX_RECORDS_PER_BLOCK) == 1
     strs = jnp.where(is_hola[:, None], hola[None, :], strs)
     valid = jnp.ones(n, dtype=bool)
-    return RecordBatch(recid=recid, num=num, strs=strs, valid=valid)
+    return RecordBatch(
+        recid=recid, num=num, strw=pack_str_words_device(strs), valid=valid
+    )

@@ -37,6 +37,7 @@ from ..ops.filter import compact
 from ..ops.hash_join import hash_join_count_impl
 from ..ops.keys import key_hash
 from ..ops.merge_join import join_sorted_distinct_impl
+from ..ops._jit import resilient_jit
 from ..parallel.mesh import mesh_size
 from ..parallel.shuffle import shuffle
 
@@ -155,4 +156,4 @@ def make_dist_pipeline(mesh: Mesh, field: int = 1, cfg: EngineConfig = DEFAULT_C
         },
         check_vma=False,
     )
-    return jax.jit(sharded)
+    return resilient_jit(lambda: jax.jit(sharded))

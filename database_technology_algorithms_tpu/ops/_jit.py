@@ -84,3 +84,47 @@ def per_static_jit(impl, static_names: tuple[str, ...] = ("field", "cfg")):
 
     wrapper.clear_cache = cache.clear  # type: ignore[attr-defined]
     return wrapper
+
+
+def call_resilient(build_fn, *args):
+    """Build a jitted callable and invoke it, recovering from corrupted
+    dispatch (see module docstring) by rebuilding / clearing caches."""
+    fn = build_fn()
+    try:
+        return fn(*args)
+    except ValueError as e:
+        if not _is_corrupted_dispatch(e):
+            raise
+    fn = build_fn()
+    try:
+        return fn(*args)
+    except ValueError as e:
+        if not _is_corrupted_dispatch(e):
+            raise
+    jax.clear_caches()
+    return build_fn()(*args)
+
+
+def resilient_jit(build_fn):
+    """Persistent resilient wrapper around build_fn() -> jitted callable."""
+    holder = [None]
+
+    def call(*args, **kwargs):
+        if holder[0] is None:
+            holder[0] = build_fn()
+        try:
+            return holder[0](*args, **kwargs)
+        except ValueError as e:
+            if not _is_corrupted_dispatch(e):
+                raise
+        holder[0] = build_fn()
+        try:
+            return holder[0](*args, **kwargs)
+        except ValueError as e:
+            if not _is_corrupted_dispatch(e):
+                raise
+        jax.clear_caches()
+        holder[0] = build_fn()
+        return holder[0](*args, **kwargs)
+
+    return call

@@ -4,22 +4,26 @@ The reference's only aggregate is duplicate elimination (a COUNT-less
 group-by, ``DatabaseProject.cpp:94-170``) plus the key-set collapse inside
 HashJoin's build phase (``:510-548``).  BASELINE.json's north star asks for a
 real masked aggregate kernel, so this module generalizes both: group rows by
-the join field and compute count / sum / min / max over ``num`` per group,
-via sort + segmented scatter-reduce (the TPU-friendly form of a hash
-aggregate — deterministic, collision-free, and exact for string keys).
+the join field and compute count / sum / min / max over ``num`` per group.
+
+TPU form: one payload-carrying key sort, then cumulative/segmented scans
+(ops/scan.py) with per-group values read off at run boundaries via
+compaction-by-sort — deterministic, collision-free, exact for string keys,
+and free of the gathers/scatters a literal hash aggregate would need
+(see movement.py for why that matters ~300x on this chip).
 """
 
 from __future__ import annotations
-
-import functools
 
 import jax
 import jax.numpy as jnp
 
 from ..batch import RecordBatch
 from ..config import DEFAULT_CONFIG, EngineConfig
-from .filter import compact
+from ._jit import per_static_jit
 from .keys import adjacent_equal
+from .movement import compact_rows, compact_words
+from .scan import seg_max, seg_min
 from .sort import sort_batch_impl
 
 U32_MAX = jnp.uint32(0xFFFFFFFF)
@@ -35,7 +39,7 @@ def group_aggregate_impl(
 
     Returns (group_rep_batch, aggs, n_groups): group representative rows (the
     first record of each group, sorted key order) compacted to the front;
-    aggs = {"count","sum","min","max"} int arrays aligned with those rows.
+    aggs = {"count","sum","min","max"} arrays aligned with those rows.
     `count` marks live rows (static-capacity convention).
     """
     n = batch.nrows
@@ -45,28 +49,33 @@ def group_aggregate_impl(
         if count is None
         else jnp.arange(n, dtype=jnp.int32) < count
     )
-    new_run = active & ~adjacent_equal(sorted_b, field)
-    seg = jnp.cumsum(new_run.astype(jnp.int32)) - 1
-    act = active.astype(jnp.int32)
+    adj = adjacent_equal(sorted_b, field)
+    new_run = active & ~adj
+    nxt_active = jnp.concatenate([active[1:], jnp.zeros(1, dtype=bool)])
+    nxt_same = jnp.concatenate([adj[1:], jnp.zeros(1, dtype=bool)])
+    is_end = active & (~nxt_active | ~nxt_same)
 
-    count_agg = jnp.zeros(n, dtype=jnp.int32).at[seg].add(act)
-    ssum = jnp.zeros(n, dtype=jnp.uint32).at[seg].add(
-        jnp.where(active, sorted_b.num, 0)
-    )
-    smin = jnp.full(n, U32_MAX, dtype=jnp.uint32).at[seg].min(
-        jnp.where(active, sorted_b.num, U32_MAX)
-    )
-    smax = jnp.zeros(n, dtype=jnp.uint32).at[seg].max(
-        jnp.where(active, sorted_b.num, 0)
-    )
-    count = count_agg
+    num = sorted_b.num
+    c_incl = jnp.cumsum(active.astype(jnp.int32))
+    s_incl = jnp.cumsum(jnp.where(active, num, 0).astype(jnp.uint32))
+    run_min = seg_min(new_run, jnp.where(active, num, U32_MAX))
+    run_max = seg_max(new_run, jnp.where(active, num, jnp.uint32(0)))
 
-    reps, n_groups = compact(sorted_b, new_run)
-    # aggregates are already indexed by segment id == compacted position
-    aggs = {"count": count, "sum": ssum, "min": smin, "max": smax}
+    reps, n_groups, _ = compact_rows(sorted_b, new_run)
+    _, (ec, es, emin, emax) = compact_words(
+        is_end, (c_incl, s_incl, run_min, run_max)
+    )
+    gidx = jnp.arange(n, dtype=jnp.int32)
+    live_g = gidx < n_groups
+    prev_c = jnp.concatenate([jnp.zeros(1, jnp.int32), ec[:-1]])
+    prev_s = jnp.concatenate([jnp.zeros(1, jnp.uint32), es[:-1]])
+    aggs = {
+        "count": jnp.where(live_g, ec - prev_c, 0),
+        "sum": jnp.where(live_g, es - prev_s, 0),
+        "min": jnp.where(live_g, emin, U32_MAX),
+        "max": jnp.where(live_g, emax, 0),
+    }
     return reps, aggs, n_groups
 
-
-from ._jit import per_static_jit
 
 group_aggregate = per_static_jit(group_aggregate_impl)

@@ -5,11 +5,12 @@ stream once keeping a record only when its key differs from the previous
 record's — i.e. keep the *first* record of each equal-key group, survivors in
 sorted key order.  ``nunique`` counts all unique keys.
 
-Vectorized here as: sort → adjacent-equality mask → compact.  Two reference
-bugs are deliberately *not* reproduced (SURVEY.md §2 C5): the final partial
-output block is never flushed there (tail rows silently dropped from the
-file), and the first comparison reads uninitialized stack memory.  The parity
-harness accounts for both on the oracle side.
+Vectorized here as two payload-carrying sorts (ops/movement.py): key-sort →
+adjacent-equality keep mask → compaction-by-sort.  No gathers or scatters
+anywhere.  Two reference bugs are deliberately *not* reproduced
+(SURVEY.md §2 C5): the unflushed final block (tail rows silently dropped
+from its output file) and the uninitialized first comparison; the parity
+harness models both on the oracle side.
 
 Survivor identity: the reference's qsort is unstable, so *which* record of a
 duplicate group survives is unspecified there; here it is deterministically
@@ -18,15 +19,14 @@ the lowest-original-index record (total-order sort in sort.py).
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 
 from ..batch import RecordBatch
 from ..config import DEFAULT_CONFIG, EngineConfig
-from .filter import compact
+from ._jit import per_static_jit
 from .keys import adjacent_equal
+from .movement import compact_rows
 from .sort import sort_batch_impl
 
 
@@ -41,7 +41,8 @@ def distinct_sorted(
     keep = ~adjacent_equal(sorted_batch, field)
     if count is not None:
         keep &= jnp.arange(sorted_batch.nrows, dtype=jnp.int32) < count
-    return compact(sorted_batch, keep)
+    out, n, _ = compact_rows(sorted_batch, keep)
+    return out, n
 
 
 def distinct_impl(
@@ -52,21 +53,12 @@ def distinct_impl(
 ) -> tuple[RecordBatch, jax.Array]:
     """Sort + DISTINCT (the reference's EliminateDuplicates pipeline).
 
-    Returns (batch_with_capacity_N, nunique); rows beyond nunique are zeroed.
-    Output rows are in sorted key order, matching the reference's output order.
-    `count` marks live rows under the static-capacity convention.
-
-    u32 key domains take the fused fast path (key-only sort + one payload
-    gather, ops/fastpath.py); strings use the exact generic path.
+    Returns (batch_with_capacity_N, nunique); rows past nunique are padding.
+    Output rows are in sorted key order, matching the reference's output
+    order.  `count` marks live rows under the static-capacity convention.
     """
-    from .fastpath import distinct_u32, is_u32_field
-
-    if is_u32_field(field):
-        return distinct_u32(batch, field, count=count)
     sorted_batch, _ = sort_batch_impl(batch, field, cfg, count=count)
     return distinct_sorted(sorted_batch, field, count=count)
 
-
-from ._jit import per_static_jit
 
 distinct = per_static_jit(distinct_impl)

@@ -10,14 +10,17 @@ Field '3' uses an ``unordered_multimap`` that keeps *every* build (num,str)
 pair (``:543``), so a probe row is emitted once per matching build record —
 full inner-join multiplicity (``:619-628``).
 
-Engine forms:
-* ``hash_join_count`` / ``hash_join`` (this module): the portable sorted
-  implementation — one total-order sort of build∪probe, then run-head
-  propagation marks each probe row with its matching build run.  Exact for
-  all key widths; jit-safe; O((B+P) log) on the sort network.
-* ``hash_table.py``: the bucketed open-addressing path (u32 keys) whose
-  probe is a pure gather stream — the high-throughput choice when the build
-  side fits a table; the ``hash_join`` dispatcher picks it when eligible.
+Engine form (this module): one payload-carrying sort of build∪probe by
+(active, key, side); each equal-key run then holds the build row first, and
+a segmented keep-last scan (ops/scan.py) propagates "run head is an active
+build row" + the build multiplicity to every probe row — adjacency +
+scans only, no gathers.  The probe-order result comes back via one more
+sort by original index (inverse permutation == sort by destination).
+
+Alternative engines for u32 keys: ops/hash_table.py (open-addressing table,
+gather-probe — the literal hash-table translation; measured ~300x slower
+per probe round on TPU due to gather latency, kept for the API and for
+gather-friendly backends) and ops/fastpath.py (searchsorted membership).
 
 nres accounting matches the reference exactly: sum of per-probe-row
 multiplicities, where multiplicity is 1 for fields 0-2 and the build-side
@@ -26,17 +29,17 @@ duplicate count for field 3.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ..batch import FIELD_NUMSTR, RecordBatch, canonical_field
 from ..config import DEFAULT_CONFIG, EngineConfig
-from .filter import compact
-from .keys import adjacent_equal, rows_equal_on_field
-from .sort import sort_batch_impl, sort_perm_extended
+from ._jit import per_static_jit
+from .keys import adjacent_equal
+from .movement import compact_rows, compact_words, sort_words
+from .scan import seg_carry
+from .sort import sort_batch_extended, sort_batch_impl
 
 
 def build_key_multiset(
@@ -49,26 +52,29 @@ def build_key_multiset(
 
     The heir of the reference's hash-table build phase
     (``DatabaseProject.cpp:518-547``) — the map's key set plus, for field 3,
-    the multimap's per-key multiplicity.  With `count`, rows past it are
-    padding and contribute nothing.
+    the multimap's per-key multiplicity.  Per-key counts come from cumsum
+    differences at run ends (no scatters).
     """
     n = build.nrows
-    sorted_b, perm = sort_batch_impl(build, field, cfg, count=count)
+    sorted_b, _ = sort_batch_impl(build, field, cfg, count=count)
     active = (
         jnp.ones(n, dtype=bool)
         if count is None
         else jnp.arange(n, dtype=jnp.int32) < count  # padding sorted to tail
     )
-    new_run = active & ~adjacent_equal(sorted_b, field)
-    seg = jnp.cumsum(new_run.astype(jnp.int32)) - 1  # run id per row
-    counts_per_seg = jnp.zeros(n, dtype=jnp.int32).at[seg].add(
-        active.astype(jnp.int32)
-    )
-    uniq, n_unique = compact(sorted_b, new_run)
-    # counts aligned with uniq rows: per-segment count, compacted like the rows
-    dest = jnp.where(new_run, seg, n)
-    counts = jnp.zeros(n, dtype=jnp.int32).at[dest].set(
-        counts_per_seg[seg], mode="drop"
+    adj = adjacent_equal(sorted_b, field)
+    new_run = active & ~adj
+    # run end: active and (last row, or next row inactive, or next key differs)
+    nxt_active = jnp.concatenate([active[1:], jnp.zeros(1, dtype=bool)])
+    nxt_same = jnp.concatenate([adj[1:], jnp.zeros(1, dtype=bool)])
+    is_end = active & (~nxt_active | ~nxt_same)
+
+    c_incl = jnp.cumsum(active.astype(jnp.int32))
+    uniq, n_unique, _ = compact_rows(sorted_b, new_run)
+    _, (ends,) = compact_words(is_end, (c_incl,))
+    prev = jnp.concatenate([jnp.zeros(1, jnp.int32), ends[:-1]])
+    counts = jnp.where(
+        jnp.arange(n, dtype=jnp.int32) < n_unique, ends - prev, 0
     )
     return uniq, counts, n_unique
 
@@ -82,12 +88,12 @@ def probe_multiplicity(
     cfg: EngineConfig = DEFAULT_CONFIG,
     probe_count: jax.Array | None = None,
 ) -> tuple[jax.Array, jax.Array]:
-    """Per-probe-row (matched, build_multiplicity).
+    """Per-probe-row (matched, build_multiplicity), in probe original order.
 
-    Sort build∪probe by (active, key, side); each equal-key run holds at most
-    one build row, first.  A max-scan of run-start positions tells every probe
-    row the head of its run; the probe matches iff that head is an active
-    build row.
+    Sort build∪probe by (active, key, side): each equal-key run holds at
+    most one build row, first.  A segmented keep-last scan hands every row
+    its run head's (is-build, multiplicity); one final sort by original
+    index returns the answers to probe order.
     """
     nb, np_ = build_uniq.nrows, probe.nrows
     both = RecordBatch.concat([build_uniq, probe])
@@ -99,33 +105,39 @@ def probe_multiplicity(
     )
     active = jnp.where(idx < nb, idx < n_build, probe_active)
     inactive_w = (~active).astype(jnp.uint32)
-
-    perm = sort_perm_extended(
-        both, field, cfg, pre_words=(inactive_w,), post_words=(side,)
+    counts_w = jnp.concatenate(
+        [build_counts.astype(jnp.uint32), jnp.zeros(np_, jnp.uint32)]
     )
-    # run starts in sorted order (key change or first element)
-    eq_prev = rows_equal_on_field(both, field, perm[:-1], perm[1:])
-    is_start = jnp.concatenate([jnp.ones(1, bool), ~eq_prev])
-    pos = jnp.arange(n, dtype=jnp.int32)
-    run_start_pos = jax.lax.cummax(jnp.where(is_start, pos, 0))
-    head_orig = perm[run_start_pos]  # original index of my run's head row
-    head_is_build = (head_orig < nb) & (head_orig < n_build)
 
-    sorted_side_is_probe = (side[perm] == 1) & active[perm]
-    matched_sorted = sorted_side_is_probe & head_is_build
-    mult_sorted = jnp.where(
-        matched_sorted,
-        build_counts[jnp.minimum(head_orig, nb - 1)],
+    sorted_b, (s_side, s_act, s_cnt, s_orig) = sort_batch_extended(
+        both, field, cfg,
+        pre_words=(inactive_w,),
+        post_words=(side,),
+        extra=(side, active.astype(jnp.uint32), counts_w, idx),
+    )
+    adj = adjacent_equal(sorted_b, field)
+    is_start = ~adj  # element 0 always True
+    # head info packed: bit31 = head is an active build row; low bits = count
+    head_is_build = is_start & (s_side == 0) & (s_act == 1)
+    head_info = jnp.where(
+        is_start,
+        (head_is_build.astype(jnp.uint32) << 31)
+        | jnp.minimum(s_cnt, jnp.uint32(0x7FFFFFFF)),
         0,
     )
-    # map back to probe row space
-    probe_orig = perm - nb  # valid where side==1
-    matched = jnp.zeros(np_, dtype=bool).at[
-        jnp.where(sorted_side_is_probe, probe_orig, np_)
-    ].set(matched_sorted, mode="drop")
-    mult = jnp.zeros(np_, dtype=jnp.int32).at[
-        jnp.where(sorted_side_is_probe, probe_orig, np_)
-    ].set(mult_sorted, mode="drop")
+    carry = seg_carry(is_start, head_info)
+    probe_here = (s_side == 1) & (s_act == 1)
+    matched_sorted = probe_here & ((carry >> 31) == 1)
+    mult_sorted = jnp.where(matched_sorted, carry & jnp.uint32(0x7FFFFFFF), 0)
+
+    # inverse permutation == sort by original index (probe rows first nb..n-1)
+    ord_key = jnp.where(s_side == 1, s_orig, jnp.int32(n))
+    _, (m2, mu2) = sort_words(
+        [ord_key.astype(jnp.uint32)],
+        (matched_sorted.astype(jnp.uint32), mult_sorted.astype(jnp.int32)),
+    )
+    matched = m2[:np_].astype(bool)
+    mult = mu2[:np_]
     return matched, mult
 
 
@@ -145,12 +157,6 @@ def hash_join_count_impl(
     convention (padding rows never build nor match).
     """
     field = canonical_field(field)
-    from .fastpath import hash_join_count_u32, is_u32_field
-
-    if is_u32_field(field):
-        return hash_join_count_u32(
-            build, probe, field, build_count=build_count, probe_count=probe_count
-        )
     uniq, counts, n_build = build_key_multiset(build, field, cfg, count=build_count)
     matched, mult = probe_multiplicity(
         uniq, counts, n_build, probe, field, cfg, probe_count=probe_count
@@ -162,8 +168,6 @@ def hash_join_count_impl(
         nres = jnp.sum(mult)
     return matched, mult, nres
 
-
-from ._jit import per_static_jit
 
 hash_join_count = per_static_jit(hash_join_count_impl)
 
@@ -182,7 +186,7 @@ def hash_join_impl(
     row-repetition output is required.
     """
     matched, _, nres = hash_join_count_impl(build, probe, field, cfg)
-    out, _ = compact(probe, matched)
+    out, _, _ = compact_rows(probe, matched)
     return out, nres
 
 

@@ -5,19 +5,19 @@ The reference parameterizes every operator by a field selector
 '3'=(num, str) lexicographic — comparators at
 ``/root/reference/DatabaseProject.cpp:44-92``.
 
-Here a key is a list of **uint32 words, most-significant first**.  Sorting
-lexicographically by the word list (via ``jax.lax.sort`` with ``num_keys``)
-reproduces the reference's total orders exactly:
+Here a key is a list of **uint32 words, most-significant first**, and record
+batches already store strings as big-endian packed words
+(``batch.RecordBatch.strw``), so key extraction is pure slicing:
 
 * recid / num are u32 — one word.
-* str: NUL-normalized bytes packed big-endian 4-per-word give bytewise
-  unsigned order == strcmp order (C11 7.24.4: strcmp compares unsigned
-  chars; normalization in batch.py zeroes post-NUL garbage).
+* str: word-lexicographic order == bytewise unsigned order == strcmp order
+  (C11 7.24.4; NUL-normalization at ingest zeroes post-terminator garbage).
 * (num, str) = [num] ++ str words.
 
-Fast path: only ``prefix_words`` string words (default 2 = first 8 chars) are
-sorted; a vectorized post-check detects prefix-ties whose full strings differ
-and triggers the exact 32-word fallback (SURVEY.md §7 hard part #2).
+Fast path: only ``prefix_words`` string words (default 2 = first 8 chars)
+participate in a sort; a vectorized post-check detects prefix-ties whose
+full strings differ and triggers the exact 32-word fallback (SURVEY.md §7
+hard part #2).
 """
 
 from __future__ import annotations
@@ -25,17 +25,20 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from ..batch import STR_PAD, FIELD_NUM, FIELD_NUMSTR, FIELD_RECID, FIELD_STR, RecordBatch, canonical_field
+from ..batch import (
+    FIELD_NUM,
+    FIELD_NUMSTR,
+    FIELD_RECID,
+    FIELD_STR,
+    STR_WORDS,
+    RecordBatch,
+    canonical_field,
+)
 
-STR_WORDS = STR_PAD // 4  # 32
 
-
-def str_key_words(strs: jax.Array, nwords: int) -> list[jax.Array]:
-    """Pack uint8[N,128] into big-endian uint32 words (most-significant first)."""
-    n = strs.shape[0]
-    b = strs[:, : nwords * 4].astype(jnp.uint32).reshape(n, nwords, 4)
-    words = (b[..., 0] << 24) | (b[..., 1] << 16) | (b[..., 2] << 8) | b[..., 3]
-    return [words[:, j] for j in range(nwords)]
+def str_key_words(strw: jax.Array, nwords: int) -> list[jax.Array]:
+    """First nwords packed string words (most-significant first)."""
+    return [strw[:, j] for j in range(nwords)]
 
 
 def key_words(batch: RecordBatch, field, nwords: int | None = None) -> list[jax.Array]:
@@ -47,9 +50,9 @@ def key_words(batch: RecordBatch, field, nwords: int | None = None) -> list[jax.
         return [batch.num]
     sw = STR_WORDS if nwords is None else nwords
     if field == FIELD_STR:
-        return str_key_words(batch.strs, sw)
+        return str_key_words(batch.strw, sw)
     if field == FIELD_NUMSTR:
-        return [batch.num] + str_key_words(batch.strs, sw)
+        return [batch.num] + str_key_words(batch.strw, sw)
     raise ValueError(field)
 
 
@@ -64,7 +67,7 @@ def rows_equal_on_field(batch: RecordBatch, field, i: jax.Array, j: jax.Array) -
         return batch.recid[i] == batch.recid[j]
     if field == FIELD_NUM:
         return batch.num[i] == batch.num[j]
-    streq = jnp.all(batch.strs[i] == batch.strs[j], axis=-1)
+    streq = jnp.all(batch.strw[i] == batch.strw[j], axis=-1)
     if field == FIELD_STR:
         return streq
     return streq & (batch.num[i] == batch.num[j])
@@ -87,7 +90,7 @@ def adjacent_equal(batch: RecordBatch, field) -> jax.Array:
     elif field == FIELD_NUM:
         eq = batch.num[1:] == batch.num[:-1]
     else:
-        eq = jnp.all(batch.strs[1:] == batch.strs[:-1], axis=-1)
+        eq = jnp.all(batch.strw[1:] == batch.strw[:-1], axis=-1)
         if field == FIELD_NUMSTR:
             eq = eq & (batch.num[1:] == batch.num[:-1])
     return jnp.concatenate([jnp.zeros((1,), dtype=bool), eq])

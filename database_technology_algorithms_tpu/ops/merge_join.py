@@ -6,12 +6,13 @@ EliminateDuplicates on *both* inputs (``:393-394``), so the join is a
 emits, for each key present on both sides, the R-side record only (``:454``).
 ``nres`` = matched-key count.
 
-The two-pointer loop is inherently serial, so the TPU form is a
+The two-pointer loop is inherently serial; the TPU form is a
 **sorted-concatenation intersection**: tag R/S rows, sort the union by
-(active, key, side, row); post-distinct each side's keys are unique, so a
-matched key appears as an adjacent [R, S] pair — one vectorized adjacency
-check finds every match.  This also composes with arbitrary-width string keys
-(no 1D searchsorted needed) and inherits sort.py's exact string fallback.
+(active, key, side) with the full records as payload; post-distinct each
+side's keys are unique, so every matched key appears as an adjacent [R, S]
+pair — one adjacency check finds all matches, and one compaction-by-sort
+emits the matched R records.  No permutation gathers anywhere (movement.py),
+and the string prefix/full-width fallback is inherited from sort.py.
 
 Padding rows (capacity beyond the live count) sort to the tail via a leading
 "inactive" word and can never match.
@@ -19,17 +20,16 @@ Padding rows (capacity beyond the live count) sort to the tail via a leading
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 
 from ..batch import RecordBatch
 from ..config import DEFAULT_CONFIG, EngineConfig
+from ._jit import per_static_jit
 from .distinct import distinct_impl
-from .filter import compact
-from .keys import rows_equal_on_field
-from .sort import sort_perm_extended
+from .keys import adjacent_equal
+from .movement import compact_rows
+from .sort import sort_batch_extended
 
 
 def join_sorted_distinct_impl(
@@ -40,20 +40,12 @@ def join_sorted_distinct_impl(
     field,
     cfg: EngineConfig = DEFAULT_CONFIG,
 ) -> tuple[RecordBatch, jax.Array]:
-    """Intersect two batches whose first r_count/s_count rows hold unique
-    keys in sorted key order (i.e. distinct() outputs).
+    """Intersect two batches whose first r_count/s_count rows hold unique keys.
 
-    Returns (r_matched, nres): R rows whose key also appears in S, in R's
-    order, compacted to the front of an R-capacity batch.
-
-    u32 key domains probe S via searchsorted (no concat sort, one fused
-    payload gather); strings use the exact sorted-concat path (which only
-    needs unique, not sorted, inputs).
+    Returns (r_matched, nres): R rows whose key also appears in S, in sorted
+    key order (the order distinct() emits), compacted to the front of an
+    R-capacity batch.
     """
-    from .fastpath import intersect_sorted_unique_u32, is_u32_field
-
-    if is_u32_field(field):
-        return intersect_sorted_unique_u32(r, r_count, s, s_count, field)
     nr, ns = r.nrows, s.nrows
     both = RecordBatch.concat([r, s])
     n = nr + ns
@@ -62,24 +54,24 @@ def join_sorted_distinct_impl(
     active = jnp.where(idx < nr, idx < r_count, (idx - nr) < s_count)
     inactive_w = (~active).astype(jnp.uint32)
 
-    perm = sort_perm_extended(
-        both, field, cfg, pre_words=(inactive_w,), post_words=(side,)
+    sorted_b, (s_side, s_act) = sort_batch_extended(
+        both, field, cfg,
+        pre_words=(inactive_w,),
+        post_words=(side,),
+        extra=(side, active.astype(jnp.uint32)),
     )
-    lo, hi = perm[:-1], perm[1:]
-    pair_match = (
-        rows_equal_on_field(both, field, lo, hi)
-        & (side[lo] == 0)
-        & (side[hi] == 1)
-        & active[lo]
-        & active[hi]
+    eq_next = adjacent_equal(sorted_b, field)[1:]  # row p equals row p+1
+    pair = (
+        eq_next
+        & (s_side[:-1] == 0)
+        & (s_side[1:] == 1)
+        & (s_act[:-1] == 1)
+        & (s_act[1:] == 1)
     )
-    # scatter matches back to R row space
-    matched_r = jnp.zeros(nr, dtype=bool).at[lo].set(pair_match, mode="drop")
-    out, nres = compact(r, matched_r)
-    return out, nres
+    matched = jnp.concatenate([pair, jnp.zeros(1, dtype=bool)])
+    out, nres, _ = compact_rows(sorted_b, matched)
+    return out.slice(0, nr), nres
 
-
-from ._jit import per_static_jit
 
 join_sorted_distinct = per_static_jit(join_sorted_distinct_impl)
 

@@ -2,11 +2,11 @@
 
 Replaces the reference's external merge sort machinery — qsort run formation
 (``DatabaseProject.cpp:207-214``) and the priority-queue k-way merge
-(``DatabaseProject.cpp:255,303-326``), both per-record scalar hot loops — with
-a single data-parallel sort over columnar keys.  On TPU the default engine is
-``jax.lax.sort`` over the key-word list (an XLA sorting network, entirely
-HBM/VMEM resident); ``radix_sort.py`` provides the Pallas LSD-radix
-alternative for u32 keys and the dispatcher here picks per dtype/width.
+(``DatabaseProject.cpp:255,303-326``), both per-record scalar hot loops —
+with one ``lax.sort`` over columnar key words **carrying the full record as
+payload operands** (ops/movement.py): on the target TPU that runs at
+~memory speed, while materializing a permutation and gathering would cost
+~300x more (measured; see movement.py).
 
 Determinism: the reference's qsort is unstable, so its tie order (and which
 record survives a later dedup) is unspecified.  Here the row index is always
@@ -14,80 +14,80 @@ appended as the final key word, making every sort a *total* order —
 deterministic across runs, chips, and mesh shapes (SURVEY.md §7 hard part #6).
 
 String fast path: sort by a ``str_prefix_words``-word prefix; detect
-prefix-equal-but-key-unequal adjacencies post-sort and fall back to the exact
-32-word sort only then (generator data: 5-char strings ⇒ the 2-word prefix is
-always exact).
+prefix-equal-but-key-unequal adjacencies post-sort and fall back to the
+exact 32-word sort only then (generator data: 5-char strings ⇒ the 2-word
+prefix is always exact).
 """
 
 from __future__ import annotations
-
-import functools
 
 import jax
 import jax.numpy as jnp
 
 from ..batch import RecordBatch, canonical_field
 from ..config import DEFAULT_CONFIG, EngineConfig
-from .keys import STR_WORDS, key_words, rows_equal_on_field, uses_strings
+from ._jit import per_static_jit
+from .keys import STR_WORDS, adjacent_equal, key_words, uses_strings
+from .movement import sort_rows
 
 
-def perm_from_words(words: list[jax.Array]) -> jax.Array:
-    """Sort permutation (int32[N]) ordering rows by the key-word list.
-
-    Appends the row index as the least-significant key => unique total order,
-    so an unstable sort yields a deterministic, effectively-stable result.
-    """
-    n = words[0].shape[0]
-    iota = jnp.arange(n, dtype=jnp.int32)
-    out = jax.lax.sort(tuple(words) + (iota,), num_keys=len(words) + 1)
-    return out[-1]
-
-
-def sort_perm_extended(
+def sort_batch_extended(
     batch: RecordBatch,
     field,
     cfg: EngineConfig = DEFAULT_CONFIG,
     pre_words: tuple = (),
     post_words: tuple = (),
-) -> jax.Array:
-    """Permutation sorting by pre_words ++ field-key ++ post_words (exact).
+    extra: tuple = (),
+) -> tuple[RecordBatch, tuple]:
+    """Sort rows by pre_words ++ field-key ++ post_words (exact), carrying
+    the record payload and `extra` word arrays through the sort.
 
-    The join/distinct drivers thread control words through here (e.g. an
-    "inactive row" word to sink padding rows, a "side" word for R-before-S
-    tie order) while reusing one string fast-path/fallback implementation.
+    The join/distinct drivers thread control words through here (an
+    "inactive row" word to sink padding rows, a "side" word for build-
+    before-probe tie order) while reusing one string fast-path/fallback.
 
-    Fallback trigger: an adjacent pair (in fast order) equal on all pre+prefix
-    words but with unequal full keys proves the prefix under-resolves some
-    group, so rerun with all 32 string words.  Equal-on-pre+prefix runs are
-    contiguous, so checking adjacent pairs is sufficient.
+    Fallback trigger: an adjacent pair (in fast order) equal on all
+    pre+prefix+post sort words but with unequal full keys proves the prefix
+    under-resolved some group, so rerun at full width.  Equal-sort-word runs
+    are contiguous, so adjacency checking is sufficient.
     """
     field = canonical_field(field)
     pre = [w.astype(jnp.uint32) for w in pre_words]
     post = [w.astype(jnp.uint32) for w in post_words]
+    extra = tuple(extra)
 
     if not uses_strings(field):
-        return perm_from_words(pre + key_words(batch, field) + post)
+        return sort_rows(pre + key_words(batch, field) + post, batch, extra=extra)
 
     pw = min(cfg.str_prefix_words, STR_WORDS)
     if pw >= STR_WORDS:
-        return perm_from_words(pre + key_words(batch, field, None) + post)
+        return sort_rows(
+            pre + key_words(batch, field, None) + post, batch, extra=extra
+        )
 
-    prefix = key_words(batch, field, pw)
-    perm_fast = perm_from_words(pre + prefix + post)
-
-    check_words = pre + prefix
-    lo, hi = perm_fast[:-1], perm_fast[1:]
-    pref_eq = jnp.ones(batch.nrows - 1, dtype=bool)
-    for w in check_words:
-        pref_eq &= w[lo] == w[hi]
-    full_eq = rows_equal_on_field(batch, field, lo, hi)
+    # carry the control words as extra payload so the tie check can see them
+    # in sorted order without any gathers
+    ctl = tuple(pre) + tuple(post)
+    sorted_fast, fast_extra = sort_rows(
+        pre + key_words(batch, field, pw) + post, batch, extra=extra + ctl
+    )
+    n = batch.nrows
+    sorted_ctl = fast_extra[len(extra):]
+    pref_eq = jnp.ones(n - 1, dtype=bool)
+    for w in sorted_ctl:
+        pref_eq &= w[1:] == w[:-1]
+    for w in key_words(sorted_fast, field, pw):
+        pref_eq &= w[1:] == w[:-1]
+    full_eq = adjacent_equal(sorted_fast, field)[1:]
     needs_full = jnp.any(pref_eq & ~full_eq)
 
     def full_path(_):
-        return perm_from_words(pre + key_words(batch, field, None) + post)
+        return sort_rows(
+            pre + key_words(batch, field, None) + post, batch, extra=extra
+        )
 
     def fast_path(_):
-        return perm_fast
+        return sorted_fast, fast_extra[: len(extra)]
 
     return jax.lax.cond(needs_full, full_path, fast_path, None)
 
@@ -101,9 +101,10 @@ def sort_batch_impl(
     """Sort a batch by `field`. Returns (sorted_batch, perm). Jit-safe.
 
     Exact for all four key domains (string fallback included).  With `count`,
-    only the first `count` rows are live: they are sorted to the front and
-    padding rows sink to the tail regardless of their (zeroed) keys — the
-    static-capacity convention used by the distributed operators.
+    only the first `count` rows are live: they sort to the front and padding
+    sinks to the tail regardless of its (zeroed) keys — the static-capacity
+    convention.  `perm` (the original index of each output row) is carried
+    as payload, costing nothing extra.
     """
     field = canonical_field(field)
     n = batch.nrows
@@ -113,17 +114,19 @@ def sort_batch_impl(
     if count is not None:
         inactive = (jnp.arange(n, dtype=jnp.int32) >= count).astype(jnp.uint32)
         pre = (inactive,)
-    perm = sort_perm_extended(batch, field, cfg, pre_words=pre)
-    return batch.take(perm), perm
+    iota = jnp.arange(n, dtype=jnp.int32)
+    sorted_b, (perm,) = sort_batch_extended(
+        batch, field, cfg, pre_words=pre, extra=(iota,)
+    )
+    return sorted_b, perm
 
-
-from ._jit import per_static_jit
 
 sort_batch = per_static_jit(sort_batch_impl)
 
 
 def sort_perm(batch: RecordBatch, field, cfg: EngineConfig = DEFAULT_CONFIG) -> jax.Array:
-    return sort_perm_extended(batch, field, cfg)
+    """Permutation-only helper (still exact for strings)."""
+    return sort_batch_impl(batch, field, cfg)[1]
 
 
 def is_sorted(batch: RecordBatch, field, cfg: EngineConfig = DEFAULT_CONFIG) -> jax.Array:

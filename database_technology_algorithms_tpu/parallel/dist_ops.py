@@ -34,6 +34,7 @@ from ..ops.hash_join import hash_join_count_impl as local_hash_join_count
 from ..ops.sort import sort_batch_impl as local_sort_batch
 from ..ops.filter import compact
 from ..ops.keys import key_hash, key_words
+from ..ops._jit import resilient_jit
 from .mesh import mesh_size
 from .shuffle import shuffle
 
@@ -79,11 +80,13 @@ def distribute(mesh: Mesh, cols: dict, rows_per_chip: int | None = None) -> Dist
             off += c
         return out
 
+    from ..batch import pack_str_bytes
+
     row = NamedSharding(mesh, P(mesh.axis_names))
     batch = RecordBatch(
         recid=jax.device_put(pad(np.asarray(cols["recid"], np.uint32)), row),
         num=jax.device_put(pad(np.asarray(cols["num"], np.uint32)), row),
-        strs=jax.device_put(pad(np.asarray(cols["strs"], np.uint8)), row),
+        strw=jax.device_put(pad(pack_str_bytes(np.asarray(cols["strs"], np.uint8))), row),
         valid=jax.device_put(pad(np.asarray(cols.get("valid")
             if cols.get("valid") is not None else np.ones(n, bool))), row),
     )
@@ -128,7 +131,6 @@ def dist_distinct(
     ax = _axis(mesh)
     row = P(mesh.axis_names)
 
-    @jax.jit
     @functools.partial(
         shard_map,
         mesh=mesh,
@@ -143,7 +145,9 @@ def dist_distinct(
         out, n = local_distinct(recv, field, cfg, count=total)
         return out, n[None].astype(jnp.int32), ovf
 
-    out, counts, ovf = step(table.batch, table.count)
+    out, counts, ovf = resilient_jit(lambda: jax.jit(step))(
+        table.batch, table.count
+    )
     nunique = jnp.sum(counts)
     return DistTable(batch=out, count=counts), nunique, ovf
 
@@ -163,7 +167,6 @@ def dist_hash_join(
     ax = _axis(mesh)
     row = P(mesh.axis_names)
 
-    @jax.jit
     @functools.partial(
         shard_map,
         mesh=mesh,
@@ -184,7 +187,9 @@ def dist_hash_join(
         nres = jax.lax.psum(jnp.sum(mult), ax)
         return out, nres_rows[None].astype(jnp.int32), nres, ovf1 + ovf2
 
-    out, counts, nres, ovf = step(build.batch, build.count, probe.batch, probe.count)
+    out, counts, nres, ovf = resilient_jit(lambda: jax.jit(step))(
+        build.batch, build.count, probe.batch, probe.count
+    )
     return DistTable(batch=out, count=counts), nres, ovf
 
 
@@ -197,7 +202,6 @@ def dist_aggregate(
     ax = _axis(mesh)
     row = P(mesh.axis_names)
 
-    @jax.jit
     @functools.partial(
         shard_map,
         mesh=mesh,
@@ -212,7 +216,9 @@ def dist_aggregate(
         reps, aggs, n = local_group_aggregate(recv, field, cfg, count=total)
         return reps, n[None].astype(jnp.int32), aggs, ovf
 
-    reps, counts, aggs, ovf = step(table.batch, table.count)
+    reps, counts, aggs, ovf = resilient_jit(lambda: jax.jit(step))(
+        table.batch, table.count
+    )
     return DistTable(batch=reps, count=counts), aggs, ovf
 
 
@@ -260,7 +266,6 @@ def dist_sort(
         1 if field in (3, "3") else 0
     )
 
-    @jax.jit
     @functools.partial(
         shard_map,
         mesh=mesh,
@@ -294,5 +299,7 @@ def dist_sort(
         out, _ = local_sort_batch(recv, field, cfg, count=total)
         return out, total[None].astype(jnp.int32), ovf
 
-    out, counts, ovf = step(table.batch, table.count)
+    out, counts, ovf = resilient_jit(lambda: jax.jit(step))(
+        table.batch, table.count
+    )
     return DistTable(batch=out, count=counts), ovf

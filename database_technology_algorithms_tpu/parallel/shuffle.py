@@ -67,7 +67,7 @@ def partition_to_slots(
     send = RecordBatch(
         recid=scatter(src.recid),
         num=scatter(src.num),
-        strs=scatter(src.strs),
+        strw=scatter(src.strw),
         valid=scatter(src.valid),
     )
     send_counts = jnp.minimum(counts[:ndev], cap)
@@ -86,7 +86,7 @@ def exchange(
     recv = RecordBatch(
         recid=a2a(send.recid),
         num=a2a(send.num),
-        strs=a2a(send.strs),
+        strw=a2a(send.strw),
         valid=a2a(send.valid),
     )
     recv_counts = a2a(send_counts)  # (ndev,): rows from each source chip

@@ -114,7 +114,6 @@ def dist_hash_join_skew(
     # hold several build rows per hot key pre-gather (build not pre-deduped)
     cap_hot = min(max(ndev * cfg.hh_topk, 64), per_b)
 
-    @jax.jit
     @functools.partial(
         shard_map,
         mesh=mesh,
@@ -151,7 +150,7 @@ def dist_hash_join_skew(
         gathered = RecordBatch(
             recid=jax.lax.all_gather(bhot_slice.recid, ax, tiled=True),
             num=jax.lax.all_gather(bhot_slice.num, ax, tiled=True),
-            strs=jax.lax.all_gather(bhot_slice.strs, ax, tiled=True),
+            strw=jax.lax.all_gather(bhot_slice.strw, ax, tiled=True),
             valid=jax.lax.all_gather(bhot_slice.valid, ax, tiled=True),
         )
         # per-source live counts -> global active mask after gather
@@ -196,7 +195,9 @@ def dist_hash_join_skew(
         ovf = ovf1 + ovf2 + jax.lax.psum(hot_ovf, ax)
         return out, cnt[None].astype(jnp.int32), nres, ovf, n_hot
 
-    out, counts, nres, ovf, n_hot = step(
+    from ..ops._jit import resilient_jit
+
+    out, counts, nres, ovf, n_hot = resilient_jit(lambda: jax.jit(step))(
         build.batch, build.count, probe.batch, probe.count
     )
     return DistTable(batch=out, count=counts), nres, ovf, n_hot

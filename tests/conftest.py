@@ -21,13 +21,11 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax
 
 jax.config.update("jax_platforms", "cpu")
-# persistent compile cache: the exact string-sort fallback branches are
-# expensive to compile; cache them across test runs
-_cache_dir = os.path.join(os.path.dirname(__file__), "..", "build", "jax_cache")
-os.makedirs(_cache_dir, exist_ok=True)
-jax.config.update("jax_compilation_cache_dir", _cache_dir)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+# persistent compile cache, keyed per machine type: this container moves
+# across heterogeneous hosts and cross-machine XLA:CPU AOT blobs mismatch
+from database_technology_algorithms_tpu.utils.cache import enable_persistent_cache
+
+enable_persistent_cache(tag="cpu")
 
 import numpy as np
 import pytest

@@ -81,4 +81,5 @@ def test_batch_take_and_concat():
     assert int(t.recid[0]) == 5 and int(t.recid[2]) == 99
     c = RecordBatch.concat([b, t])
     assert c.nrows == 103
-    assert c.strs.shape == (103, STR_PAD)
+    assert c.strw.shape == (103, STR_PAD // 4)
+    assert c.to_numpy()["strs"].shape == (103, STR_PAD)

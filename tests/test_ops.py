@@ -156,3 +156,47 @@ def test_empty_and_single_row():
     assert sorted_b.nrows == 1
     out, n = distinct(b, 2, CFG)
     assert int(n) == 1
+
+
+def test_hash_table_join_matches_model(rng):
+    from database_technology_algorithms_tpu.ops.hash_table import (
+        build_hash_set,
+        hash_join_count_table,
+        probe_hash_set,
+    )
+    import jax.numpy as jnp
+
+    build = M.random_cols(rng, 500, key_range=200)
+    probe = M.random_cols(rng, 700, key_range=200)
+    for field in (0, 1):
+        hit, mult, nres = hash_join_count_table(
+            M.to_batch(build), M.to_batch(probe), field
+        )
+        m_matched, m_mult, m_nres = M.model_hash_join(build, probe, field)
+        assert int(nres) == m_nres
+        np.testing.assert_array_equal(np.asarray(hit), np.asarray(m_matched))
+
+    # direct set ops, incl. the EMPTY-sentinel edge (key hashing to 0xFFFF..)
+    keys = jnp.asarray(np.array([0, 1, 2, 0xFFFFFFFF, 7, 7, 7], np.uint32))
+    table, nfail = build_hash_set(keys, 32)
+    assert int(nfail) == 0
+    probe_keys = jnp.asarray(np.array([0, 3, 0xFFFFFFFF, 7, 8], np.uint32))
+    found = probe_hash_set(table, probe_keys)
+    assert list(np.asarray(found)) == [True, False, True, True, False]
+
+
+def test_hash_table_with_counts(rng):
+    from database_technology_algorithms_tpu.ops.hash_table import hash_join_count_table
+    import jax.numpy as jnp
+
+    build = M.random_cols(rng, 300, key_range=60)
+    probe = M.random_cols(rng, 300, key_range=60)
+    bc, pc = 120, 150
+    live_build = {k: v[:bc] for k, v in build.items()}
+    live_probe = {k: v[:pc] for k, v in probe.items()}
+    hit, _, nres = hash_join_count_table(
+        M.to_batch(build), M.to_batch(probe), 1,
+        build_count=jnp.int32(bc), probe_count=jnp.int32(pc),
+    )
+    _, _, m_nres = M.model_hash_join(live_build, live_probe, 1)
+    assert int(nres) == m_nres
