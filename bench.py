@@ -25,6 +25,9 @@ BASELINE_ROWS_PER_S = 155_700.0  # BASELINE.md MergeJoin pipeline, 1 x86 core
 def main() -> int:
     if "--cpu" in sys.argv:
         jax.config.update("jax_platforms", "cpu")
+    from database_technology_algorithms_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache(tag="cpu" if "--cpu" in sys.argv else "tpu")
     from database_technology_algorithms_tpu.io.device_gen import generate_device_batch
     from database_technology_algorithms_tpu.models.pipeline import pipeline_single
 

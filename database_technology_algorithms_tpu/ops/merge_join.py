@@ -7,12 +7,12 @@ emits, for each key present on both sides, the R-side record only (``:454``).
 ``nres`` = matched-key count.
 
 The two-pointer loop is inherently serial; the TPU form is a
-**sorted-concatenation intersection**: tag R/S rows, sort the union by
-(active, key, side) with the full records as payload; post-distinct each
-side's keys are unique, so every matched key appears as an adjacent [R, S]
-pair — one adjacency check finds all matches, and one compaction-by-sort
-emits the matched R records.  No permutation gathers anywhere (movement.py),
-and the string prefix/full-width fallback is inherited from sort.py.
+**sorted-concatenation intersection**: tag R/S rows, key-sort the union by
+(active, key, side); post-distinct each side's keys are unique, so every
+matched key appears as an adjacent [R, S] pair — one adjacency check finds
+all matches and one fused gather emits the matched R records.  Key-word
+sorts only (see sort.py for why); strings inherit the exact prefix/LSD
+fallback.
 
 Padding rows (capacity beyond the live count) sort to the tail via a leading
 "inactive" word and can never match.
@@ -27,9 +27,47 @@ from ..batch import RecordBatch
 from ..config import DEFAULT_CONFIG, EngineConfig
 from ._jit import per_static_jit
 from .distinct import distinct_impl
-from .keys import adjacent_equal
-from .movement import compact_rows
-from .sort import sort_batch_extended
+from .sort import sort_keys
+
+
+def join_view(
+    r: RecordBatch,
+    r_count: jax.Array,
+    s: RecordBatch,
+    s_count: jax.Array,
+    field,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+):
+    """Key-level intersection core over the concatenated pair.
+
+    Returns (concat_batch, view, matched_sorted): matched_sorted marks, at
+    sorted positions, the R row of each matched [R, S] adjacency.
+    """
+    nr = r.nrows
+    both = RecordBatch.concat([r, s])
+    n = both.nrows
+    idx = jnp.arange(n, dtype=jnp.int32)
+    side = (idx >= nr).astype(jnp.uint32)  # 0 = R, 1 = S
+    active = jnp.where(idx < nr, idx < r_count, (idx - nr) < s_count)
+    inactive_w = (~active).astype(jnp.uint32)
+
+    view = sort_keys(
+        both, field, cfg,
+        pre_words=(inactive_w,),
+        post_words=(side,),
+        extra=(side, active.astype(jnp.uint32)),
+    )
+    s_side, s_act = view.extras
+    eq_next = view.adj_eq[1:]  # sorted row p+1 equals row p
+    pair = (
+        eq_next
+        & (s_side[:-1] == 0)
+        & (s_side[1:] == 1)
+        & (s_act[:-1] == 1)
+        & (s_act[1:] == 1)
+    )
+    matched = jnp.concatenate([pair, jnp.zeros(1, dtype=bool)])
+    return both, view, matched
 
 
 def join_sorted_distinct_impl(
@@ -44,33 +82,13 @@ def join_sorted_distinct_impl(
 
     Returns (r_matched, nres): R rows whose key also appears in S, in sorted
     key order (the order distinct() emits), compacted to the front of an
-    R-capacity batch.
+    R-capacity batch.  One key sort + one record gather.
     """
-    nr, ns = r.nrows, s.nrows
-    both = RecordBatch.concat([r, s])
-    n = nr + ns
-    idx = jnp.arange(n, dtype=jnp.int32)
-    side = (idx >= nr).astype(jnp.uint32)  # 0 = R, 1 = S
-    active = jnp.where(idx < nr, idx < r_count, (idx - nr) < s_count)
-    inactive_w = (~active).astype(jnp.uint32)
+    from .sort import materialize_survivors
 
-    sorted_b, (s_side, s_act) = sort_batch_extended(
-        both, field, cfg,
-        pre_words=(inactive_w,),
-        post_words=(side,),
-        extra=(side, active.astype(jnp.uint32)),
-    )
-    eq_next = adjacent_equal(sorted_b, field)[1:]  # row p equals row p+1
-    pair = (
-        eq_next
-        & (s_side[:-1] == 0)
-        & (s_side[1:] == 1)
-        & (s_act[:-1] == 1)
-        & (s_act[1:] == 1)
-    )
-    matched = jnp.concatenate([pair, jnp.zeros(1, dtype=bool)])
-    out, nres, _ = compact_rows(sorted_b, matched)
-    return out.slice(0, nr), nres
+    both, view, matched = join_view(r, r_count, s, s_count, field, cfg)
+    out, nres = materialize_survivors(both, view.perm, matched)
+    return out.slice(0, r.nrows), nres
 
 
 join_sorted_distinct = per_static_jit(join_sorted_distinct_impl)

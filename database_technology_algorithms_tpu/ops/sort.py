@@ -1,25 +1,35 @@
-"""Vectorized total-order sort over record batches.
+"""Vectorized total-order sort over record batches (key-word core).
 
 Replaces the reference's external merge sort machinery — qsort run formation
 (``DatabaseProject.cpp:207-214``) and the priority-queue k-way merge
-(``DatabaseProject.cpp:255,303-326``), both per-record scalar hot loops —
-with one ``lax.sort`` over columnar key words **carrying the full record as
-payload operands** (ops/movement.py): on the target TPU that runs at
-~memory speed, while materializing a permutation and gathering would cost
-~300x more (measured; see movement.py).
+(``DatabaseProject.cpp:255,303-326``), both per-record scalar hot loops.
 
-Determinism: the reference's qsort is unstable, so its tie order (and which
-record survives a later dedup) is unspecified.  Here the row index is always
-appended as the final key word, making every sort a *total* order —
-deterministic across runs, chips, and mesh shapes (SURVEY.md §7 hard part #6).
+TPU design point (measured on the target chip, tools/profile_ops.py):
 
-String fast path: sort by a ``str_prefix_words``-word prefix; detect
-prefix-equal-but-key-unequal adjacencies post-sort and fall back to the
-exact 32-word sort only then (generator data: 5-char strings ⇒ the 2-word
-prefix is always exact).
+    lax.sort, few operands      ~0.2 ms / 1M rows
+    random gather, any width    ~32 ms / 1M rows
+    lax.sort, 36 operands       compile time explodes (>45 min)
+
+so the engine (a) sorts only *key words + a few control/index words* —
+never the record payload — keeping every sort at <=8 operands, and
+(b) materializes rows with at most ONE fused gather per operator output
+(``take``/``take_fill``).  Operators in between run on sorted key words,
+adjacency masks and segmented scans only.
+
+Exact strings: the fast path sorts a ``str_prefix_words`` prefix; a
+vectorized check finds prefix-ties whose full keys differ and a
+``lax.cond`` falls back to an **LSD stable refinement** — 16 stable
+two-word sort passes from least- to most-significant word — which is exact
+strcmp order with constant operand count (compile-cheap; runtime cost only
+paid when real ties exist).
+
+Determinism: the row index is the final sort key everywhere — a unique
+total order, stable across runs, chips, and mesh shapes (SURVEY.md §7 #6).
 """
 
 from __future__ import annotations
+
+import dataclasses
 
 import jax
 import jax.numpy as jnp
@@ -27,69 +37,154 @@ import jax.numpy as jnp
 from ..batch import RecordBatch, canonical_field
 from ..config import DEFAULT_CONFIG, EngineConfig
 from ._jit import per_static_jit
-from .keys import STR_WORDS, adjacent_equal, key_words, uses_strings
-from .movement import sort_rows
+from .keys import STR_WORDS, key_words, rows_equal_on_field, uses_strings
 
 
-def sort_batch_extended(
+@dataclasses.dataclass
+class SortedView:
+    """Result of a key sort: no record data moved yet.
+
+    perm[i]   = original row index of the i-th row in sorted order
+    adj_eq[i] = sorted row i has the same FULL key as sorted row i-1
+                (exact, all 4 key domains; element 0 False)
+    extras    = caller words, sorted along
+    """
+
+    perm: jax.Array
+    adj_eq: jax.Array
+    extras: tuple
+
+
+jax.tree_util.register_dataclass(
+    SortedView, data_fields=["perm", "adj_eq", "extras"], meta_fields=[]
+)
+
+
+def _lsd_exact_string_perm(
+    batch: RecordBatch, field, pre_words: tuple, post_words: tuple
+) -> jax.Array:
+    """Exact lexicographic permutation via LSD stable passes.
+
+    Sorts by (pre ++ full key ++ post, original index) using stable
+    two-word passes from least to most significant — constant operand
+    count per sort instruction, so compile cost stays flat.  Gathers one
+    word column per pass step (the rare-path price).
+    """
+    field = canonical_field(field)
+    n = batch.nrows
+    perm = jnp.arange(n, dtype=jnp.int32)
+
+    def stable_pass(perm, words):
+        ops = tuple(w[perm] for w in words) + (perm,)
+        out = jax.lax.sort(ops, num_keys=len(words), is_stable=True)
+        return out[-1]
+
+    # least-significant first: post words
+    for w in reversed([w.astype(jnp.uint32) for w in post_words]):
+        perm = stable_pass(perm, [w])
+    # string words, two at a time, from the last pair up
+    for j in range(STR_WORDS - 2, -2, -2):
+        lo = max(j, 0)
+        perm = stable_pass(perm, [batch.strw[:, k] for k in range(lo, j + 2)])
+    # num word for field 3
+    if field == 3:
+        perm = stable_pass(perm, [batch.num])
+    # most-significant last: pre words
+    for w in reversed([w.astype(jnp.uint32) for w in pre_words]):
+        perm = stable_pass(perm, [w])
+    return perm
+
+
+def sort_keys(
     batch: RecordBatch,
     field,
     cfg: EngineConfig = DEFAULT_CONFIG,
     pre_words: tuple = (),
     post_words: tuple = (),
     extra: tuple = (),
-) -> tuple[RecordBatch, tuple]:
-    """Sort rows by pre_words ++ field-key ++ post_words (exact), carrying
-    the record payload and `extra` word arrays through the sort.
+) -> SortedView:
+    """Sort rows by pre_words ++ field-key ++ post_words; exact; no payload.
 
     The join/distinct drivers thread control words through here (an
     "inactive row" word to sink padding rows, a "side" word for build-
-    before-probe tie order) while reusing one string fast-path/fallback.
-
-    Fallback trigger: an adjacent pair (in fast order) equal on all
-    pre+prefix+post sort words but with unequal full keys proves the prefix
-    under-resolved some group, so rerun at full width.  Equal-sort-word runs
-    are contiguous, so adjacency checking is sufficient.
+    before-probe tie order).  `extra` words ride as sort payload.
     """
     field = canonical_field(field)
+    n = batch.nrows
     pre = [w.astype(jnp.uint32) for w in pre_words]
     post = [w.astype(jnp.uint32) for w in post_words]
     extra = tuple(extra)
+    iota = jnp.arange(n, dtype=jnp.int32)
+
+    def finish(perm, sorted_key_words, extras):
+        if sorted_key_words is None:
+            eq = rows_equal_on_field(batch, field, perm[:-1], perm[1:])
+        else:
+            eq = jnp.ones(n - 1, dtype=bool)
+            for w in sorted_key_words:
+                eq &= w[1:] == w[:-1]
+        adj = jnp.concatenate([jnp.zeros(1, bool), eq])
+        return SortedView(perm=perm, adj_eq=adj, extras=extras)
 
     if not uses_strings(field):
-        return sort_rows(pre + key_words(batch, field) + post, batch, extra=extra)
+        kw = key_words(batch, field)
+        ops = tuple(pre) + tuple(kw) + tuple(post) + (iota,) + extra
+        nk = len(pre) + len(kw) + len(post) + 1
+        out = jax.lax.sort(ops, num_keys=nk)
+        skw = out[len(pre) : len(pre) + len(kw)]
+        return finish(out[nk - 1], skw, tuple(out[nk:]))
 
     pw = min(cfg.str_prefix_words, STR_WORDS)
-    if pw >= STR_WORDS:
-        return sort_rows(
-            pre + key_words(batch, field, None) + post, batch, extra=extra
-        )
+    prefix = key_words(batch, field, pw)
+    ops = tuple(pre) + tuple(prefix) + tuple(post) + (iota,) + extra
+    nk = len(pre) + len(prefix) + len(post) + 1
+    out = jax.lax.sort(ops, num_keys=nk)
+    perm_fast = out[nk - 1]
+    fast_extras = tuple(out[nk:])
 
-    # carry the control words as extra payload so the tie check can see them
-    # in sorted order without any gathers
-    ctl = tuple(pre) + tuple(post)
-    sorted_fast, fast_extra = sort_rows(
-        pre + key_words(batch, field, pw) + post, batch, extra=extra + ctl
-    )
-    n = batch.nrows
-    sorted_ctl = fast_extra[len(extra):]
-    pref_eq = jnp.ones(n - 1, dtype=bool)
-    for w in sorted_ctl:
-        pref_eq &= w[1:] == w[:-1]
-    for w in key_words(sorted_fast, field, pw):
-        pref_eq &= w[1:] == w[:-1]
-    full_eq = adjacent_equal(sorted_fast, field)[1:]
-    needs_full = jnp.any(pref_eq & ~full_eq)
+    # tie check: adjacent pairs equal on every sort word but with unequal
+    # full keys prove the prefix under-resolved a group (runs of equal sort
+    # words are contiguous, so adjacency suffices)
+    sort_words_sorted = out[: nk - 1]
+    lo, hi = perm_fast[:-1], perm_fast[1:]
+    word_eq = jnp.ones(n - 1, dtype=bool)
+    for w in sort_words_sorted:
+        word_eq &= w[1:] == w[:-1]
+    full_eq_fast = rows_equal_on_field(batch, field, lo, hi)
+    needs_full = jnp.any(word_eq & ~full_eq_fast)
 
     def full_path(_):
-        return sort_rows(
-            pre + key_words(batch, field, None) + post, batch, extra=extra
-        )
+        perm = _lsd_exact_string_perm(batch, field, tuple(pre), tuple(post))
+        extras_p = tuple(e[perm] for e in extra)
+        eq = rows_equal_on_field(batch, field, perm[:-1], perm[1:])
+        adj = jnp.concatenate([jnp.zeros(1, bool), eq])
+        return SortedView(perm=perm, adj_eq=adj, extras=extras_p)
 
     def fast_path(_):
-        return sorted_fast, fast_extra[: len(extra)]
+        adj = jnp.concatenate([jnp.zeros(1, bool), full_eq_fast])
+        return SortedView(perm=perm_fast, adj_eq=adj, extras=fast_extras)
 
     return jax.lax.cond(needs_full, full_path, fast_path, None)
+
+
+def materialize_survivors(
+    batch: RecordBatch, view_perm: jax.Array, keep_sorted: jax.Array
+) -> tuple[RecordBatch, jax.Array]:
+    """Gather kept rows (in sorted order) to the front with ONE record gather.
+
+    keep_sorted is a mask over sorted positions; returns (batch, count) with
+    rows past count zeroed (take_fill).
+    """
+    n = batch.nrows
+    drop_w = (~keep_sorted).astype(jnp.uint32)
+    out = jax.lax.sort(
+        (drop_w, jnp.arange(n, dtype=jnp.int32), view_perm), num_keys=2
+    )
+    count = jnp.sum(keep_sorted, dtype=jnp.int32)
+    gather_idx = jnp.where(
+        jnp.arange(n, dtype=jnp.int32) < count, out[2], jnp.int32(n)
+    )
+    return batch.take_fill(gather_idx), count
 
 
 def sort_batch_impl(
@@ -100,11 +195,9 @@ def sort_batch_impl(
 ) -> tuple[RecordBatch, jax.Array]:
     """Sort a batch by `field`. Returns (sorted_batch, perm). Jit-safe.
 
-    Exact for all four key domains (string fallback included).  With `count`,
-    only the first `count` rows are live: they sort to the front and padding
-    sinks to the tail regardless of its (zeroed) keys — the static-capacity
-    convention.  `perm` (the original index of each output row) is carried
-    as payload, costing nothing extra.
+    Exact for all four key domains.  With `count`, only the first `count`
+    rows are live; padding sinks to the tail (static-capacity convention).
+    One key sort + one record gather.
     """
     field = canonical_field(field)
     n = batch.nrows
@@ -114,19 +207,16 @@ def sort_batch_impl(
     if count is not None:
         inactive = (jnp.arange(n, dtype=jnp.int32) >= count).astype(jnp.uint32)
         pre = (inactive,)
-    iota = jnp.arange(n, dtype=jnp.int32)
-    sorted_b, (perm,) = sort_batch_extended(
-        batch, field, cfg, pre_words=pre, extra=(iota,)
-    )
-    return sorted_b, perm
+    view = sort_keys(batch, field, cfg, pre_words=pre)
+    return batch.take(view.perm), view.perm
 
 
 sort_batch = per_static_jit(sort_batch_impl)
 
 
 def sort_perm(batch: RecordBatch, field, cfg: EngineConfig = DEFAULT_CONFIG) -> jax.Array:
-    """Permutation-only helper (still exact for strings)."""
-    return sort_batch_impl(batch, field, cfg)[1]
+    """Permutation-only helper (still exact for strings; no record gather)."""
+    return sort_keys(batch, field, cfg).perm
 
 
 def is_sorted(batch: RecordBatch, field, cfg: EngineConfig = DEFAULT_CONFIG) -> jax.Array:
@@ -135,8 +225,6 @@ def is_sorted(batch: RecordBatch, field, cfg: EngineConfig = DEFAULT_CONFIG) -> 
     n = batch.nrows
     if n <= 1:
         return jnp.bool_(True)
-    # lexicographic non-decreasing: at each adjacency, the first differing
-    # word must increase.
     lt = jnp.zeros(n - 1, dtype=bool)  # strictly less at first difference
     eq = jnp.ones(n - 1, dtype=bool)
     for w in words:
