@@ -13,7 +13,7 @@ enable_persistent_cache(tag="tpu")
 
 from database_technology_algorithms_tpu.ops.pallas_gather import pallas_row_gather
 
-N, W = 1_000_000, 36
+N, W = 1 << 20, 36
 
 
 def timeit(name, fn, *args, reps=3):

@@ -1,0 +1,92 @@
+#!/usr/bin/env python
+"""On-chip shootout for output materialization strategies.
+
+The engine's one expensive primitive is materializing output rows (full
+36-word records) selected by a mask / index list.  Candidates:
+
+  A. XLA row gather            out = src[idx]               (random idx)
+  B. XLA row gather, sorted    out = src[idx_sorted]        (monotone idx)
+  C. per-column gather         one 1-D take per word column
+  D. compaction via lax.sort   sort by (keep ? rank : N), payload chunks of 8
+  E. padded-width gather       src padded to 128 lanes, then slice
+"""
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+import jax
+import jax.numpy as jnp
+
+from database_technology_algorithms_tpu.utils.cache import enable_persistent_cache
+
+enable_persistent_cache(tag="tpu")
+
+N, W = 1 << 20, 36
+KEEP_FRAC = 0.28  # ~ join selectivity in the headline pipeline
+
+
+def timeit(name, fn, *args, reps=5):
+    f = jax.jit(fn)
+    t0 = time.perf_counter()
+    out = f(*args)
+    jax.block_until_ready(out)
+    c = time.perf_counter() - t0
+    best = 1e9
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        out = f(*args)
+        jax.block_until_ready(out)
+        best = min(best, time.perf_counter() - t0)
+    print(f"{name:40s} {best*1e3:9.2f} ms (compile {c:.1f}s)", flush=True)
+    return out
+
+
+def main():
+    print("device:", jax.devices()[0], flush=True)
+    k = jax.random.PRNGKey(0)
+    src = jax.random.randint(k, (N, W), 0, 1 << 30, dtype=jnp.uint32)
+    idx = jax.random.randint(jax.random.PRNGKey(1), (N,), 0, N, dtype=jnp.int32)
+    idx_sorted = jnp.sort(idx)
+    keep = jax.random.uniform(jax.random.PRNGKey(2), (N,)) < KEEP_FRAC
+    cols = [src[:, i] for i in range(W)]
+    jax.block_until_ready((src, idx, idx_sorted, keep, cols))
+
+    timeit("A jnp.take rows random", lambda s, i: jnp.take(s, i, axis=0), src, idx)
+    timeit("B jnp.take rows sorted", lambda s, i: jnp.take(s, i, axis=0), src, idx_sorted)
+
+    def per_col(i, *cs):
+        return [jnp.take(c, i) for c in cs]
+
+    timeit("C per-column 1-D takes x36", per_col, idx, *cols)
+
+    def compact_sort(kp, *cs):
+        rank = jnp.arange(N, dtype=jnp.uint32)
+        key = jnp.where(kp, rank, jnp.uint32(N))
+        outs = []
+        for base in range(0, len(cs), 7):
+            chunk = cs[base : base + 7]
+            res = jax.lax.sort((key,) + tuple(chunk), num_keys=1)
+            outs.extend(res[1:])
+        return outs
+
+    timeit("D compaction via chunked lax.sort", compact_sort, keep, *cols)
+
+    def one_sort8(kp, *cs):
+        rank = jnp.arange(N, dtype=jnp.uint32)
+        key = jnp.where(kp, rank, jnp.uint32(N))
+        return jax.lax.sort((key,) + tuple(cs[:7]), num_keys=1)
+
+    timeit("D1 single 8-operand sort", one_sort8, keep, *cols)
+
+    # E: gather via permutation sort (arbitrary idx, incl. dups is NOT valid
+    # for sort; only measure subset case) — skip.
+
+    # sanity: D equals boolean-mask compaction for first column
+    d = compact_sort(keep, *cols)
+    ref = cols[0][keep]
+    kcount = int(keep.sum())
+    ok = bool(jnp.all(d[0][:kcount] == ref))
+    print("compaction matches:", ok, flush=True)
+
+
+main()
