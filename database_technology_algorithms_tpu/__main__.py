@@ -257,14 +257,23 @@ def cmd_hashjoin(args) -> int:
 
 
 def main() -> int:
+    import sys
+
+    common = argparse.ArgumentParser(add_help=False)
+    common.add_argument(
+        "--platform", default=None, help="force jax platform (e.g. cpu)"
+    )
+
     p = argparse.ArgumentParser(
         prog="database_technology_algorithms_tpu",
         description="TPU-native query engine (reference-parity CLI)",
+        parents=[common],
     )
-    p.add_argument("--platform", default=None, help="force jax platform (e.g. cpu)")
     sub = p.add_subparsers(dest="cmd")
 
-    pp = sub.add_parser("pipeline", help="reference main.cpp benchmark flow")
+    pp = sub.add_parser(
+        "pipeline", help="reference main.cpp benchmark flow", parents=[common]
+    )
     pp.add_argument("--nblocks", type=int, default=600)
     pp.add_argument("--field", default="1")
     pp.add_argument("--seed", type=int, default=42)
@@ -273,7 +282,7 @@ def main() -> int:
     pp.add_argument("--dist", type=int, default=0, help="run on an N-device mesh")
     pp.set_defaults(fn=cmd_pipeline)
 
-    ms = sub.add_parser("mergesort", help="external sort a block file")
+    ms = sub.add_parser("mergesort", help="external sort a block file", parents=[common])
     ms.add_argument("infile")
     ms.add_argument("outfile")
     ms.add_argument("--field", default="1")
@@ -282,39 +291,34 @@ def main() -> int:
     ms.add_argument("--workdir", default=".")
     ms.set_defaults(fn=cmd_mergesort)
 
-    ed = sub.add_parser("elimdup", help="DISTINCT a block file")
+    ed = sub.add_parser("elimdup", help="DISTINCT a block file", parents=[common])
     ed.add_argument("infile")
     ed.add_argument("outfile")
     ed.add_argument("--field", default="1")
     ed.set_defaults(fn=cmd_elimdup)
 
-    mj = sub.add_parser("mergejoin", help="sort-merge join two block files")
+    mj = sub.add_parser("mergejoin", help="sort-merge join two block files", parents=[common])
     mj.add_argument("infile1")
     mj.add_argument("infile2")
     mj.add_argument("outfile")
     mj.add_argument("--field", default="1")
     mj.set_defaults(fn=cmd_mergejoin)
 
-    hj = sub.add_parser("hashjoin", help="hash semi-join two block files")
+    hj = sub.add_parser("hashjoin", help="hash semi-join two block files", parents=[common])
     hj.add_argument("infile1")
     hj.add_argument("infile2")
     hj.add_argument("outfile")
     hj.add_argument("--field", default="1")
     hj.set_defaults(fn=cmd_hashjoin)
 
-    # back-compat: bare invocation == pipeline
-    args, extra = p.parse_known_args()
-    if args.cmd is None:
-        pp2 = argparse.ArgumentParser()
-        pp2.add_argument("--platform", default=None)
-        pp2.add_argument("--nblocks", type=int, default=600)
-        pp2.add_argument("--field", default="1")
-        pp2.add_argument("--seed", type=int, default=42)
-        pp2.add_argument("--workdir", default=".")
-        pp2.add_argument("--skip-files", action="store_true")
-        pp2.add_argument("--dist", type=int, default=0)
-        args = pp2.parse_args()
+    # back-compat: a bare invocation (no subcommand word anywhere) runs the
+    # pipeline with pipeline's own flags, mirroring the reference ./dbt driver
+    known_cmds = {"pipeline", "mergesort", "elimdup", "mergejoin", "hashjoin"}
+    argv = sys.argv[1:]
+    if not any(a in known_cmds for a in argv):
+        args = pp.parse_args(argv)
         return cmd_pipeline(args)
+    args = p.parse_args(argv)
     return args.fn(args)
 
 

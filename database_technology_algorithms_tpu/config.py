@@ -26,10 +26,10 @@ class EngineConfig:
     # u32 words of NUL-normalized string used as the fast-path sort prefix;
     # ties that differ beyond the prefix trigger an exact full-width fallback.
     str_prefix_words: int = 2
-    # radix bits per pass for the Pallas LSD radix sort
-    radix_bits: int = 8
-    # rows per radix-sort tile
-    sort_tile_rows: int = 2048
+    # row-movement engine: "sort" = grouped payload-placement sorts (TPU:
+    # beats XLA's ~32 ns/row gather by >10x), "gather" = fused jnp.take
+    # (fast on CPU/GPU), "auto" = sort on TPU, gather elsewhere
+    materialize: str = "auto"
 
     # --- hash join ----------------------------------------------------------
     # table slots = next_pow2(load_factor_inv * n_build)

@@ -103,31 +103,35 @@ def pipeline_single_impl(
     matched = jnp.concatenate([pair, jnp.zeros(1, dtype=bool)])
     mj_n = jnp.sum(matched, dtype=jnp.int32)
 
-    # the ONE record gather: emit matched R rows (R-capacity output)
-    cnt, (orig_front,) = compact_words(matched, (jview.perm,))
-    gather_idx = jnp.where(
-        jnp.arange(nr, dtype=jnp.int32) < cnt, orig_front[:nr], jnp.int32(nr + ns)
-    )
-    mj_out = both.take_fill(gather_idx)
+    # the ONE record materialization: emit matched R rows (R-capacity
+    # output).  Matched rows are always R-side, so the placement path moves
+    # only the R half (ops/movement.py grouped placement sorts); gather
+    # backends take one fused record gather.
+    from ..ops.movement import permute_rows, use_sort_placement
+    from ..ops.sort import survivor_dest
 
-    # independent cross-check: hash semi-join of the dedup'd S against the
-    # dedup'd R build set (what main.cpp:121 actually runs) — swapped-role
-    # sort, S rows before R within equal keys, count adjacent [S, R]?  No:
-    # build-first convention — count S rows whose run head is an R survivor.
-    hview = sort_keys(
-        both, field, cfg,
-        pre_words=((~active).astype(jnp.uint32),),
-        post_words=(side,),
-        extra=(side, active.astype(jnp.uint32)),
-    )
-    h_side, h_act = hview.extras
+    if use_sort_placement(cfg):
+        dest, cnt = survivor_dest(jview.perm, matched)
+        mj_out = permute_rows(r, dest[:nr], count=cnt)
+    else:
+        cnt, (orig_front,) = compact_words(matched, (jview.perm,))
+        gather_idx = jnp.where(
+            jnp.arange(nr, dtype=jnp.int32) < cnt, orig_front[:nr], jnp.int32(nr + ns)
+        )
+        mj_out = both.take_fill(gather_idx)
+
+    # cross-check: hash semi-join count of the dedup'd S against the dedup'd
+    # R build set (what main.cpp:121 actually runs), via the hash-join
+    # engine's segmented-scan counting over the SAME sorted view (the sort
+    # call was formerly duplicated verbatim and merely CSE'd away) — count S
+    # survivors whose equal-key run head is an R survivor.
     from ..ops.scan import seg_carry
 
-    is_start = ~hview.adj_eq
-    head_is_build = is_start & (h_side == 0) & (h_act == 1)
+    is_start = ~jview.adj_eq
+    head_is_build = is_start & (j_side == 0) & (j_act == 1)
     carry = seg_carry(is_start, head_is_build.astype(jnp.uint32))
     hj_n = jnp.sum(
-        ((h_side == 1) & (h_act == 1) & (carry == 1)).astype(jnp.int32)
+        ((j_side == 1) & (j_act == 1) & (carry == 1)).astype(jnp.int32)
     )
 
     # hash aggregate over the (filtered) probe table — counters only
@@ -168,14 +172,14 @@ def make_dist_pipeline(mesh: Mesh, field: int = 1, cfg: EngineConfig = DEFAULT_C
         cap_s = max(int(nrow_s * cfg.shuffle_slack) // ndev + 1, 64)
 
         # per-chip filter
-        rf, rcf = compact(rb, rb.valid & (jnp.arange(nrow_r) < rc))
-        sf, scf = compact(sb, sb.valid & (jnp.arange(nrow_s) < sc))
+        rf, rcf = compact(rb, rb.valid & (jnp.arange(nrow_r) < rc), cfg)
+        sf, scf = compact(sb, sb.valid & (jnp.arange(nrow_s) < sc), cfg)
 
         # one hash-partition all-to-all per table: colocates equal keys
         rdest = key_hash(rf, field) % jnp.uint32(ndev)
         sdest = key_hash(sf, field) % jnp.uint32(ndev)
-        rsh, rtot, ovf1 = shuffle(rf, rcf, rdest, ax, ndev, cap_r)
-        ssh, stot, ovf2 = shuffle(sf, scf, sdest, ax, ndev, cap_s)
+        rsh, rtot, ovf1 = shuffle(rf, rcf, rdest, ax, ndev, cap_r, cfg)
+        ssh, stot, ovf2 = shuffle(sf, scf, sdest, ax, ndev, cap_s, cfg)
 
         # local kernels — identical to the single-chip path
         rd, nur = distinct_impl(rsh, field, cfg, count=rtot)

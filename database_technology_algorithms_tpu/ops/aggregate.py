@@ -73,7 +73,7 @@ def group_aggregate_impl(
     run_max = seg_max(new_run, jnp.where(active, num, jnp.uint32(0)))
 
     if materialize_reps:
-        reps, n_groups = materialize_survivors(batch, view.perm, new_run)
+        reps, n_groups = materialize_survivors(batch, view.perm, new_run, cfg)
     else:
         reps = batch.slice(0, 1)  # placeholder; callers using counters only
         n_groups = jnp.sum(new_run, dtype=jnp.int32)

@@ -85,7 +85,7 @@ def distinct_impl(
     One key sort + one record gather.
     """
     view, keep = distinct_view(batch, field, cfg, count=count)
-    return materialize_survivors(batch, view.perm, keep)
+    return materialize_survivors(batch, view.perm, keep, cfg)
 
 
 distinct = per_static_jit(distinct_impl)

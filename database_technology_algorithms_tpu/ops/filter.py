@@ -21,19 +21,20 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..batch import STR_PAD, RecordBatch
+from ..config import DEFAULT_CONFIG, EngineConfig
 from .movement import compact_rows
 
 
-def compact(batch: RecordBatch, mask: jax.Array) -> tuple[RecordBatch, jax.Array]:
+def compact(
+    batch: RecordBatch, mask: jax.Array, cfg: EngineConfig = DEFAULT_CONFIG
+) -> tuple[RecordBatch, jax.Array]:
     """Move rows where mask is True to the front, preserving order.
 
-    Returns (batch_same_capacity, count).  Implemented as a stable
-    two-bucket sort carrying the record payload (movement.py): ~300x faster
-    than the scatter form on the target TPU.  NOTE: dropped rows remain
-    (reordered) past `count` rather than being zeroed — all engine code
-    treats rows past the live count as padding.
+    Returns (batch_same_capacity, count); rows past `count` are zeroed.
+    TPU: grouped payload-placement sorts; gather backends: one word sort +
+    one fused record gather (see ops/movement.py for the measured rationale).
     """
-    out, count, _ = compact_rows(batch, mask)
+    out, count, _ = compact_rows(batch, mask, cfg=cfg)
     return out, count
 
 

@@ -76,7 +76,7 @@ def build_key_multiset(
     c_incl = jnp.cumsum(active.astype(jnp.int32))
     from .sort import materialize_survivors
 
-    uniq, n_unique = materialize_survivors(build, view.perm, new_run)
+    uniq, n_unique = materialize_survivors(build, view.perm, new_run, cfg)
     _, (ends,) = compact_words(is_end, (c_incl,))
     prev = jnp.concatenate([jnp.zeros(1, jnp.int32), ends[:-1]])
     counts = jnp.where(

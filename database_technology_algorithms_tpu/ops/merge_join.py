@@ -82,12 +82,24 @@ def join_sorted_distinct_impl(
 
     Returns (r_matched, nres): R rows whose key also appears in S, in sorted
     key order (the order distinct() emits), compacted to the front of an
-    R-capacity batch.  One key sort + one record gather.
+    R-capacity batch.
+
+    Matched rows are always R-side, so the TPU placement path computes each
+    row's destination over the concatenation but moves only the R half
+    (grouped placement sorts at R capacity, not 2x); the gather path
+    materializes from the concatenation and slices.
     """
-    from .sort import materialize_survivors
+    from .movement import permute_rows, use_sort_placement
+    from .sort import materialize_survivors, survivor_dest
 
     both, view, matched = join_view(r, r_count, s, s_count, field, cfg)
-    out, nres = materialize_survivors(both, view.perm, matched)
+    if use_sort_placement(cfg):
+        dest, nres = survivor_dest(view.perm, matched)
+        # every matched rank lives in the R half; unmatched R rows keep
+        # unique sink destinations >= nres, so dest[:nr] is still unique
+        out = permute_rows(r, dest[: r.nrows], count=nres)
+        return out, nres
+    out, nres = materialize_survivors(both, view.perm, matched, cfg)
     return out.slice(0, r.nrows), nres
 
 

@@ -1,14 +1,18 @@
 """Word-level data movement helpers.
 
-Measured design point (tools/profile_ops.py, 1M rows on the target chip):
-``lax.sort`` with a handful of operands ~0.2 ms; any random gather ~32 ms;
-scatter ~59 ms; and sorts with many operands explode XLA compile time.
-The engine therefore (a) sorts only small word sets, (b) uses at most one
-fused record gather per operator output, and (c) never scatters.
+Measured design point (tools/profile_ops.py + tools/bench_materialize.py,
+1M rows on the target chip): ``lax.sort`` with a handful of operands
+~0.2 ms; any random gather ~32 ms; scatter ~59 ms; and sorts with many
+operands explode XLA compile time.  The engine therefore (a) sorts only
+small word sets, (b) never scatters, and (c) moves whole records through
+**grouped payload-carrying sorts** (``place_words``/``permute_rows``):
+the 36 record words ride as sort payload in groups of ≤7 per ``lax.sort``
+call, keyed by each row's destination position — the TPU-native
+replacement for the row gather (the reference's per-record memcpy hot
+loops, ``DatabaseProject.cpp:303-326,583-629``).
 
-``compact_rows`` — the only row-moving helper — is one 3-operand sort on
-(drop, position) carrying the original index, then one ``take_fill``: the
-stable-partition + single-gather form of "copy survivors forward".
+``compact_rows`` is the mask→dense-prefix form of that: destinations are
+survivor ranks, drops sink past the live count.
 """
 
 from __future__ import annotations
@@ -17,6 +21,66 @@ import jax
 import jax.numpy as jnp
 
 from ..batch import RecordBatch
+from ..config import DEFAULT_CONFIG, EngineConfig
+
+# payload words carried per lax.sort call: 1 key + 7 payload = 8 operands
+# keeps XLA's sort expansion compile-cheap while amortizing pass overhead
+PLACE_GROUP = 7
+
+
+def use_sort_placement(cfg: EngineConfig = DEFAULT_CONFIG) -> bool:
+    """Static (trace-time) choice of row-movement engine.
+
+    "sort"  — grouped payload sorts (TPU: gathers are ~32 ns/row, sorts are
+              near memory speed);
+    "gather"— one fused jnp.take (CPU/GPU backends where gathers are fast);
+    "auto"  — sort on TPU, gather elsewhere.
+    """
+    if cfg.materialize == "sort":
+        return True
+    if cfg.materialize == "gather":
+        return False
+    return jax.default_backend() == "tpu"
+
+
+def place_words(
+    dest: jax.Array, words: list[jax.Array], group: int = PLACE_GROUP
+) -> list[jax.Array]:
+    """out[dest[i]] = words[:][i] via grouped payload-carrying sorts.
+
+    dest must hold unique u32 values (any total order, not necessarily
+    dense); each group of ≤`group` words rides one 1-key lax.sort.
+    """
+    destu = dest.astype(jnp.uint32)
+    outs: list[jax.Array] = []
+    for base in range(0, len(words), group):
+        chunk = tuple(words[base : base + group])
+        res = jax.lax.sort((destu,) + chunk, num_keys=1)
+        outs.extend(res[1:])
+    return outs
+
+
+def permute_rows(
+    batch: RecordBatch, dest: jax.Array, count: jax.Array | None = None
+) -> RecordBatch:
+    """Move row i to output position rank-of(dest[i]); dest values unique.
+
+    With `count`, rows whose dest >= count are zeroed (the static-capacity
+    padding convention).
+    """
+    words = batch.payload_words()
+    placed = place_words(dest, words)
+    out = RecordBatch.from_payload_words(placed)
+    if count is not None:
+        n = batch.nrows
+        live = jnp.arange(n, dtype=jnp.int32) < count
+        out = RecordBatch(
+            recid=jnp.where(live, out.recid, 0),
+            num=jnp.where(live, out.num, 0),
+            strw=jnp.where(live[:, None], out.strw, 0),
+            valid=out.valid & live,
+        )
+    return out
 
 
 def sort_words(
@@ -43,18 +107,39 @@ def compact_words(
     return jnp.sum(keep, dtype=jnp.int32), out
 
 
+def compaction_dest(keep: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """(dest, count): dest[i] = survivor rank if kept, else count + drop rank.
+
+    dest is a dense permutation of [0, N): survivors to the front in order,
+    drops after in order.
+    """
+    n = keep.shape[0]
+    iota = jnp.arange(n, dtype=jnp.int32)
+    ranks = jnp.cumsum(keep.astype(jnp.int32)) - 1  # kept rank at kept rows
+    count = jnp.sum(keep, dtype=jnp.int32)
+    dest = jnp.where(keep, ranks, count + (iota - ranks - 1))
+    return dest, count
+
+
 def compact_rows(
     batch: RecordBatch,
     keep: jax.Array,
     extra: tuple[jax.Array, ...] = (),
+    cfg: EngineConfig = DEFAULT_CONFIG,
 ) -> tuple[RecordBatch, jax.Array, tuple[jax.Array, ...]]:
     """Keep-masked rows to the front, order preserved.
 
-    One word sort + one record gather.  Rows past `count` are zeroed.
-    Returns (batch, count, extras-compacted-alongside).
+    Rows past `count` are zeroed.  Returns (batch, count, extras-compacted-
+    alongside).  TPU: grouped payload-placement sorts; other backends: one
+    word sort + one fused record gather.
     """
     n = batch.nrows
     iota = jnp.arange(n, dtype=jnp.int32)
+    if use_sort_placement(cfg):
+        dest, count = compaction_dest(keep)
+        out = permute_rows(batch, dest, count=count)
+        extras = tuple(place_words(dest, [e for e in extra])) if extra else ()
+        return out, count, extras
     count, out = compact_words(keep, (iota,) + tuple(extra))
     orig = out[0]
     gather_idx = jnp.where(iota < count, orig, jnp.int32(n))

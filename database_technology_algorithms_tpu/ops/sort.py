@@ -167,15 +167,48 @@ def sort_keys(
     return jax.lax.cond(needs_full, full_path, fast_path, None)
 
 
-def materialize_survivors(
-    batch: RecordBatch, view_perm: jax.Array, keep_sorted: jax.Array
-) -> tuple[RecordBatch, jax.Array]:
-    """Gather kept rows (in sorted order) to the front with ONE record gather.
+def survivor_dest(
+    view_perm: jax.Array, keep_sorted: jax.Array
+) -> tuple[jax.Array, jax.Array]:
+    """(dest, count): each ORIGINAL row's output position under "kept rows,
+    in sorted order, to the front; drops after in sorted order".
 
-    keep_sorted is a mask over sorted positions; returns (batch, count) with
-    rows past count zeroed (take_fill).
+    keep_sorted is a mask over sorted positions; the result is a dense
+    permutation of [0, N) in original row order (one 2-operand un-permute
+    sort — view_perm is a permutation, so sorting by it restores original
+    order).
     """
+    n = view_perm.shape[0]
+    count = jnp.sum(keep_sorted, dtype=jnp.int32)
+    pos = jnp.arange(n, dtype=jnp.int32)
+    rank = jnp.cumsum(keep_sorted.astype(jnp.int32)) - 1
+    dest_sorted = jnp.where(keep_sorted, rank, count + (pos - rank - 1))
+    from .movement import sort_words
+
+    _, (dest,) = sort_words(
+        [view_perm.astype(jnp.uint32)], (dest_sorted,), stable_iota=False
+    )
+    return dest, count
+
+
+def materialize_survivors(
+    batch: RecordBatch,
+    view_perm: jax.Array,
+    keep_sorted: jax.Array,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+) -> tuple[RecordBatch, jax.Array]:
+    """Move kept rows (in sorted order) to the front; rows past count zeroed.
+
+    keep_sorted is a mask over sorted positions.  TPU: destination-keyed
+    grouped placement sorts (ops/movement.py); other backends: one fused
+    record gather.
+    """
+    from .movement import permute_rows, use_sort_placement
+
     n = batch.nrows
+    if use_sort_placement(cfg):
+        dest, count = survivor_dest(view_perm, keep_sorted)
+        return permute_rows(batch, dest, count=count), count
     drop_w = (~keep_sorted).astype(jnp.uint32)
     out = jax.lax.sort(
         (drop_w, jnp.arange(n, dtype=jnp.int32), view_perm), num_keys=2
@@ -197,8 +230,11 @@ def sort_batch_impl(
 
     Exact for all four key domains.  With `count`, only the first `count`
     rows are live; padding sinks to the tail (static-capacity convention).
-    One key sort + one record gather.
+    One key sort, then either grouped placement sorts (TPU) or one record
+    gather (other backends) to move the payload.
     """
+    from .movement import permute_rows, sort_words, use_sort_placement
+
     field = canonical_field(field)
     n = batch.nrows
     if n <= 1:
@@ -208,6 +244,15 @@ def sort_batch_impl(
         inactive = (jnp.arange(n, dtype=jnp.int32) >= count).astype(jnp.uint32)
         pre = (inactive,)
     view = sort_keys(batch, field, cfg, pre_words=pre)
+    if use_sort_placement(cfg):
+        # dest = inverse permutation: sorting (perm, iota) by perm restores
+        # original row order and hands each row its sorted position
+        _, (dest,) = sort_words(
+            [view.perm.astype(jnp.uint32)],
+            (jnp.arange(n, dtype=jnp.int32),),
+            stable_iota=False,
+        )
+        return permute_rows(batch, dest), view.perm
     return batch.take(view.perm), view.perm
 
 

@@ -141,7 +141,7 @@ def dist_distinct(
     def step(batch, count):
         count = count[0]
         dest = key_hash(batch, field) % jnp.uint32(ndev)
-        recv, total, ovf = shuffle(batch, count, dest, ax, ndev, cap)
+        recv, total, ovf = shuffle(batch, count, dest, ax, ndev, cap, cfg)
         out, n = local_distinct(recv, field, cfg, count=total)
         return out, n[None].astype(jnp.int32), ovf
 
@@ -178,12 +178,12 @@ def dist_hash_join(
         bc, pc = bc[0], pc[0]
         bdest = key_hash(bb, field) % jnp.uint32(ndev)
         pdest = key_hash(pb, field) % jnp.uint32(ndev)
-        brecv, btotal, ovf1 = shuffle(bb, bc, bdest, ax, ndev, cap_b)
-        precv, ptotal, ovf2 = shuffle(pb, pc, pdest, ax, ndev, cap_p)
+        brecv, btotal, ovf1 = shuffle(bb, bc, bdest, ax, ndev, cap_b, cfg)
+        precv, ptotal, ovf2 = shuffle(pb, pc, pdest, ax, ndev, cap_p, cfg)
         matched, mult, _ = local_hash_join_count(
             brecv, precv, field, cfg, build_count=btotal, probe_count=ptotal
         )
-        out, nres_rows = compact(precv, matched)
+        out, nres_rows = compact(precv, matched, cfg)
         nres = jax.lax.psum(jnp.sum(mult), ax)
         return out, nres_rows[None].astype(jnp.int32), nres, ovf1 + ovf2
 
@@ -212,7 +212,7 @@ def dist_aggregate(
     def step(batch, count):
         count = count[0]
         dest = key_hash(batch, field) % jnp.uint32(ndev)
-        recv, total, ovf = shuffle(batch, count, dest, ax, ndev, cap)
+        recv, total, ovf = shuffle(batch, count, dest, ax, ndev, cap, cfg)
         reps, aggs, n = local_group_aggregate(recv, field, cfg, count=total)
         return reps, n[None].astype(jnp.int32), aggs, ovf
 
@@ -295,7 +295,7 @@ def dist_sort(
         picks = (jnp.arange(1, ndev, dtype=jnp.int32) * m) // ndev
         splitters = [w[picks] for w in srt]  # ndev-1 splitters
         dest = jnp.sum(_lex_ge(words, splitters), axis=1, dtype=jnp.int32)
-        recv, total, ovf = shuffle(batch, count, dest, ax, ndev, cap)
+        recv, total, ovf = shuffle(batch, count, dest, ax, ndev, cap, cfg)
         out, _ = local_sort_batch(recv, field, cfg, count=total)
         return out, total[None].astype(jnp.int32), ovf
 

@@ -140,7 +140,7 @@ def dist_hash_join_skew(
         p_hot = in_hash_set(ph, hot) & p_active
 
         # --- hot path: replicate hot build rows, probe locally ------------
-        bhot_rows, bhot_n = compact(bb, b_hot)
+        bhot_rows, bhot_n = compact(bb, b_hot, cfg)
         # semi-join build is a key set: local dedup bounds the per-chip hot
         # contribution to (#hot keys) <= ndev*topk <= cap_hot, so the
         # broadcast can never overflow under build-side skew either
@@ -159,7 +159,7 @@ def dist_hash_join_skew(
         )  # (ndev,)
         gidx = jnp.arange(ndev * cap_hot)
         g_active = (gidx % cap_hot) < gcounts[gidx // cap_hot]
-        ghot, gn = compact(gathered, g_active)
+        ghot, gn = compact(gathered, g_active, cfg)
         matched_hot, _, _ = hash_join_count_impl(
             ghot, pb, field, cfg, build_count=gn,
             probe_count=None,
@@ -167,21 +167,21 @@ def dist_hash_join_skew(
         matched_hot = matched_hot & p_hot  # only hot probe rows use this path
 
         # --- cold path: normal hash-partition shuffle ---------------------
-        bcold, bcold_n = compact(bb, b_active & ~b_hot)
-        pcold, pcold_n = compact(pb, p_active & ~p_hot)
+        bcold, bcold_n = compact(bb, b_active & ~b_hot, cfg)
+        pcold, pcold_n = compact(pb, p_active & ~p_hot, cfg)
         # remember original probe index through shuffle? not needed: matched
         # cold rows are emitted on the destination chip.
         bdest = key_hash(bcold, field) % jnp.uint32(ndev)
         pdest = key_hash(pcold, field) % jnp.uint32(ndev)
-        brecv, btot, ovf1 = shuffle(bcold, bcold_n, bdest, ax, ndev, cap_b)
-        precv, ptot, ovf2 = shuffle(pcold, pcold_n, pdest, ax, ndev, cap_p)
+        brecv, btot, ovf1 = shuffle(bcold, bcold_n, bdest, ax, ndev, cap_b, cfg)
+        precv, ptot, ovf2 = shuffle(pcold, pcold_n, pdest, ax, ndev, cap_p, cfg)
         matched_cold, _, _ = hash_join_count_impl(
             brecv, precv, field, cfg, build_count=btot, probe_count=ptot
         )
 
         # --- combine ------------------------------------------------------
-        hot_out, hot_cnt = compact(pb, matched_hot)
-        cold_out, cold_cnt = compact(precv, matched_cold)
+        hot_out, hot_cnt = compact(pb, matched_hot, cfg)
+        cold_out, cold_cnt = compact(precv, matched_cold, cfg)
         out = RecordBatch.concat([hot_out, cold_out])
         # compact the concatenation: hot block then cold block
         keep = jnp.concatenate(
@@ -190,7 +190,7 @@ def dist_hash_join_skew(
                 jnp.arange(cold_out.nrows) < cold_cnt,
             ]
         )
-        out, cnt = compact(out, keep)
+        out, cnt = compact(out, keep, cfg)
         nres = jax.lax.psum(hot_cnt + cold_cnt, ax)
         ovf = ovf1 + ovf2 + jax.lax.psum(hot_ovf, ax)
         return out, cnt[None].astype(jnp.int32), nres, ovf, n_hot
