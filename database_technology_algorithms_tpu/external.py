@@ -97,23 +97,36 @@ class SegmentStore:
         tmp.write_text(json.dumps(self.manifest))
         os.replace(tmp, self.manifest_path)
 
-    def seg_path(self, i: int) -> pathlib.Path:
-        return self.dir / f"segment{i}.npz"
+    COLS = ("recid", "num", "strs", "valid")
+
+    def seg_path(self, i: int, name: str) -> pathlib.Path:
+        return self.dir / f"segment{i}.{name}.npy"
 
     def write_segment(self, i: int, cols: dict, keys: np.ndarray) -> int:
-        np.savez(self.seg_path(i), keys=keys, **cols)
+        nbytes = 0
+        for name, arr in {**cols, "keys": keys}.items():
+            np.save(self.seg_path(i, name), arr)
+            nbytes += arr.nbytes
         if i not in self.manifest["segments"]:
             self.manifest["segments"].append(i)
             self.save_manifest()
-        return sum(v.nbytes for v in cols.values()) + keys.nbytes
+        return nbytes
+
+    def open_segment(self, i: int) -> tuple[dict, np.ndarray]:
+        """Memory-mapped view of a spilled segment: columns + key matrix.
+
+        Nothing is read from disk until sliced — pass 2 stays out-of-core
+        (the bounded-buffer discipline of the reference's nmem_blocks
+        contract, DatabaseProject.cpp:245-369)."""
+        load = lambda name: np.load(self.seg_path(i, name), mmap_mode="r")
+        return {k: load(k) for k in self.COLS}, load("keys")
 
     def read_segment(self, i: int) -> tuple[dict, np.ndarray]:
-        z = np.load(self.seg_path(i))
-        cols = {k: z[k] for k in ("recid", "num", "strs", "valid")}
-        return cols, z["keys"]
+        cols, keys = self.open_segment(i)
+        return {k: np.array(v) for k, v in cols.items()}, np.array(keys)
 
     def cleanup(self):
-        for f in self.dir.glob("segment*.npz"):
+        for f in self.dir.glob("segment*.npy"):
             f.unlink()
         if self.manifest_path.exists():
             self.manifest_path.unlink()
@@ -196,11 +209,14 @@ def external_sort(
     step = max(len(sample) // nranges, 1)
     splitters = sample[step::step]
 
+    # memory-mapped segment views: pass 2 reads only each range's slice of
+    # each segment from disk (out-of-core; segments are sorted so a key
+    # range is one contiguous slice per segment, found by binary search on
+    # the memmapped key column — O(log n) rows touched per probe)
     seg_cols = []
     seg_keys = []
     for i in range(nseg):
-        cols, keys = store.read_segment(i)
-        stats.bytes_host += keys.nbytes
+        cols, keys = store.open_segment(i)
         seg_cols.append(cols)
         seg_keys.append(keys)
 
@@ -211,6 +227,7 @@ def external_sort(
     for r in range(len(bounds) - 1):
         hi = bounds[r + 1]
         parts = []
+        range_bytes = 0
         for i in range(nseg):
             lo_idx = cursors[i]
             hi_idx = (
@@ -219,15 +236,22 @@ def external_sort(
                 else _searchsorted_rows(seg_keys[i], hi, "right")
             )
             if hi_idx > lo_idx:
-                parts.append(
-                    {k: v[lo_idx:hi_idx] for k, v in seg_cols[i].items()}
-                )
+                part = {
+                    k: np.array(v[lo_idx:hi_idx]) for k, v in seg_cols[i].items()
+                }
+                range_bytes += sum(v.nbytes for v in part.values())
+                parts.append(part)
             cursors[i] = hi_idx
+        stats.bytes_host += range_bytes
+        stats.peak_range_rows = max(
+            stats.peak_range_rows, sum(len(p["recid"]) for p in parts)
+        )
         if not parts:
             continue
         merged = {
             k: np.concatenate([p[k] for p in parts]) for k in parts[0]
         }
+        del parts
         n = len(merged["recid"])
         # oversized range (heavy key skew): sort in sub-chunks; a range this
         # hot is dominated by one key, whose duplicates are already in

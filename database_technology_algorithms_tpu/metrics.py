@@ -35,6 +35,9 @@ class OperatorStats:
     bytes_host: int = 0
     bytes_ici: int = 0
     bytes_dcn: int = 0
+    # out-of-core discipline: largest key-range working set pass 2 ever
+    # held in host RAM at once (rows) — must stay O(mem_rows)
+    peak_range_rows: int = 0
     # timing
     wall_s: float = 0.0
 

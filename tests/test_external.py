@@ -39,6 +39,29 @@ def test_external_sort_matches_model(rng, tmp_path, field):
     assert stats.nsorted_segs == 6
     assert stats.npasses == 2
     assert stats.bytes_host > 0
+    # out-of-core discipline: pass 2 never held more than a budgeted range
+    # in host RAM (ranges are sized so a balanced range is half the budget)
+    assert 0 < stats.peak_range_rows <= 512
+
+
+def test_external_sort_bounded_ranges_large(rng, tmp_path):
+    """Dataset 20x the memory budget: every pass-2 range stays within it.
+
+    Guards the bounded-buffer contract of the reference's nmem_blocks
+    (DatabaseProject.cpp:245-369) — pass 2 must stream ranges from disk,
+    not load all segments (the round-1 implementation did)."""
+    cols = M.random_cols(rng, 5000, key_range=5000)
+    stats = OperatorStats()
+    out = list(
+        external_sort(
+            _chunks_of(cols, 250), 1, str(tmp_path / "big"),
+            mem_rows=250, stats=stats,
+        )
+    )
+    merged = {k: np.concatenate([c[k] for c in out]) for k in out[0]}
+    assert M.all_keys(merged, 1) == sorted(M.all_keys(cols, 1))
+    assert stats.nsorted_segs == 20
+    assert 0 < stats.peak_range_rows <= 250
 
 
 def test_external_sort_single_chunk(rng, tmp_path):
