@@ -32,7 +32,25 @@ def _setup_jax(platform):
 
 
 def cmd_pipeline(args) -> int:
-    jax = _setup_jax(args.platform)
+    if getattr(args, "coordinator", None):
+        # multi-host entry: rendezvous BEFORE any other jax use, then run
+        # the identical dist pipeline over the global device mesh
+        from .parallel.multihost import initialize
+
+        initialize(
+            args.coordinator,
+            args.num_processes,
+            args.process_id,
+            local_devices=args.local_devices,
+            platform=args.platform,
+        )
+        import jax
+
+        if not args.skip_files:
+            print("ERROR: multi-process runs require --skip-files")
+            return 1
+    else:
+        jax = _setup_jax(args.platform)
     from .batch import canonical_field
     from .io.blockfile import read_blockfile, write_blockfile
     from .io.generator import generate_batch, generate_pair_files
@@ -54,7 +72,7 @@ def cmd_pipeline(args) -> int:
         r, s = read_blockfile(f1), read_blockfile(f2)
     print(f"[gen] done in {time.time() - t0:.2f}s on {jax.devices()[0].platform}")
 
-    if args.dist:
+    if args.dist or getattr(args, "coordinator", None):
         return _pipeline_dist(args, r, s, field)
 
     print("\n--------------MERGE JOIN-------------------")
@@ -110,16 +128,26 @@ def _pipeline_dist(args, r, s, field) -> int:
     from .parallel.dist_ops import distribute
     from .parallel.mesh import make_mesh
 
-    n = args.dist
+    multiproc = bool(getattr(args, "coordinator", None))
+    n = args.dist or len(jax.devices())
     devices = jax.devices()
     if len(devices) < n:
         print(f"ERROR: asked for {n} devices, have {len(devices)}")
         return 1
+    if multiproc and n != len(devices):
+        print("ERROR: multi-process runs use all global devices (--dist must match)")
+        return 1
     mesh = make_mesh(devices=devices[:n])
     cfg = EngineConfig(shuffle_slack=4.0)
     step = make_dist_pipeline(mesh, field, cfg)
-    t1 = distribute(mesh, r.to_numpy())
-    t2 = distribute(mesh, s.to_numpy())
+    if multiproc:
+        from .parallel.multihost import distribute_global
+
+        t1 = distribute_global(mesh, r.to_numpy())
+        t2 = distribute_global(mesh, s.to_numpy())
+    else:
+        t1 = distribute(mesh, r.to_numpy())
+        t2 = distribute(mesh, s.to_numpy())
     t0 = time.time()
     out = step(t1.batch, t1.count, t2.batch, t2.count)
     jax.block_until_ready(out)
@@ -280,6 +308,12 @@ def main() -> int:
     pp.add_argument("--workdir", default=".")
     pp.add_argument("--skip-files", action="store_true")
     pp.add_argument("--dist", type=int, default=0, help="run on an N-device mesh")
+    pp.add_argument("--coordinator", default=None,
+                    help="multi-process: coordinator address host:port")
+    pp.add_argument("--num-processes", type=int, default=1)
+    pp.add_argument("--process-id", type=int, default=0)
+    pp.add_argument("--local-devices", type=int, default=None,
+                    help="per-process device count (CPU multi-process tests)")
     pp.set_defaults(fn=cmd_pipeline)
 
     ms = sub.add_parser("mergesort", help="external sort a block file", parents=[common])

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..batch import RecordBatch
 from ..config import DEFAULT_CONFIG, EngineConfig
@@ -25,7 +26,7 @@ from .movement import compact_words
 from .scan import seg_max, seg_min
 from .sort import materialize_survivors, sort_keys
 
-U32_MAX = jnp.uint32(0xFFFFFFFF)
+U32_MAX = np.uint32(0xFFFFFFFF)
 
 
 def group_aggregate_impl(

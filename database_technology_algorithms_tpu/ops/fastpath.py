@@ -27,10 +27,11 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..batch import FIELD_NUM, FIELD_RECID, RecordBatch, canonical_field
 
-U32_MAX = jnp.uint32(0xFFFFFFFF)
+U32_MAX = np.uint32(0xFFFFFFFF)
 
 
 def is_u32_field(field) -> bool:

@@ -23,12 +23,13 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..batch import RecordBatch
 from ..config import DEFAULT_CONFIG, EngineConfig
 from .fastpath import u32_key
 
-EMPTY = jnp.uint32(0xFFFFFFFF)  # empty-slot marker (keys == EMPTY re-hash)
+EMPTY = np.uint32(0xFFFFFFFF)  # empty-slot marker (keys == EMPTY re-hash)
 
 
 def _mix(h: jax.Array) -> jax.Array:

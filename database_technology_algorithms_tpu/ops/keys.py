@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..batch import (
     FIELD_NUM,
@@ -98,8 +99,8 @@ def adjacent_equal(batch: RecordBatch, field) -> jax.Array:
 
 # ---- hashing ---------------------------------------------------------------
 
-_FNV_PRIME = jnp.uint32(16777619)
-_FNV_BASIS = jnp.uint32(2166136261)
+_FNV_PRIME = np.uint32(16777619)
+_FNV_BASIS = np.uint32(2166136261)
 
 
 def hash_words(words: list[jax.Array], seed: int = 0) -> jax.Array:

@@ -1,0 +1,88 @@
+"""True multi-process (multi-host) runtime tests.
+
+SURVEY.md §4c / §7 M4: the distributed pipeline must run through
+``jax.distributed.initialize`` across SEPARATE processes — the same code
+path a real multi-host pod takes over DCN — not just the in-process
+forced-host-device simulation.  These tests launch N python processes
+against a localhost coordinator (gloo CPU collectives, 4 local devices
+each) via the CLI's --coordinator/--num-processes/--process-id flags and
+assert both exit 0 with identical, single-process-matching counters.
+"""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("localhost", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def _launch(port, nproc, pid, nblocks, field, extra=()):
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("XLA_FLAGS", None)
+    return subprocess.Popen(
+        [
+            sys.executable, "-m", "database_technology_algorithms_tpu",
+            "pipeline", "--nblocks", str(nblocks), "--field", str(field),
+            "--skip-files", "--platform", "cpu",
+            "--coordinator", f"localhost:{port}",
+            "--num-processes", str(nproc), "--process-id", str(pid),
+            "--local-devices", "4", *extra,
+        ],
+        env=env,
+        stdout=subprocess.PIPE,
+        stderr=subprocess.PIPE,
+        text=True,
+        cwd=REPO,
+    )
+
+
+def _last_json(out: str) -> dict:
+    for line in reversed(out.strip().splitlines()):
+        line = line.strip()
+        if line.startswith("{"):
+            return json.loads(line)
+    raise AssertionError(f"no JSON line in output:\n{out}")
+
+
+@pytest.mark.parametrize("field", [1])
+def test_two_process_pipeline_matches_single(field):
+    from database_technology_algorithms_tpu.io.generator import generate_batch
+    from database_technology_algorithms_tpu.models.pipeline import pipeline_single
+
+    nblocks = 10
+    port = _free_port()
+    procs = [_launch(port, 2, pid, nblocks, field) for pid in (0, 1)]
+    outs = []
+    for p in procs:
+        stdout, stderr = p.communicate(timeout=600)
+        assert p.returncode == 0, f"rc={p.returncode}\n{stdout}\n{stderr}"
+        outs.append(_last_json(stdout))
+
+    # both processes observed identical global counters
+    for k in ("merge_join_pairs", "hash_join_pairs", "nunique_r", "nunique_s"):
+        assert outs[0][k] == outs[1][k], k
+    assert outs[0]["joins_agree"] and outs[0]["overflow"] == 0
+    assert outs[0]["mesh_devices"] == 8
+
+    # and they match the single-process single-chip pipeline exactly
+    r = generate_batch(nblocks, seed=42)
+    s = generate_batch(nblocks, seed=43)
+    ref = pipeline_single(r, s, field)
+    assert outs[0]["merge_join_pairs"] == int(ref["merge_nres"])
+    assert outs[0]["hash_join_pairs"] == int(ref["hash_nres"])
+    assert outs[0]["nunique_r"] == int(ref["nunique_r"])
+    assert outs[0]["nunique_s"] == int(ref["nunique_s"])
