@@ -51,6 +51,13 @@ def cmd_pipeline(args) -> int:
             return 1
     else:
         jax = _setup_jax(args.platform)
+        if args.dist and args.platform == "cpu":
+            # single-process mesh simulation: force the CPU device count
+            # (effective only before the first backend use, so set it here)
+            try:
+                jax.config.update("jax_num_cpu_devices", args.dist)
+            except Exception:
+                pass  # backend already initialized (e.g. library use)
     from .batch import canonical_field
     from .io.blockfile import read_blockfile, write_blockfile
     from .io.generator import generate_batch, generate_pair_files

@@ -36,6 +36,13 @@ class EngineConfig:
     hash_load_factor_inv: int = 2
     # max linear-probe steps before falling back to the sorted path
     hash_max_probe: int = 64
+    # engine for single-word (recid/num) join keys:
+    #   "generic"      concat-sort + segmented scan (exact for all fields)
+    #   "searchsorted" sorted build keys + binary-search probes (fastpath.py)
+    #   "table"        open-addressing hash set, gather probes (hash_table.py)
+    u32_join_engine: str = "generic"
+    # engine for single-word DISTINCT: "generic" | "fastpath"
+    u32_distinct_engine: str = "generic"
 
     # --- distributed --------------------------------------------------------
     # mesh axis names: data axis is the engine's only parallel axis

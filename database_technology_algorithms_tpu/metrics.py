@@ -38,6 +38,9 @@ class OperatorStats:
     # out-of-core discipline: largest key-range working set pass 2 ever
     # held in host RAM at once (rows) — must stay O(mem_rows)
     peak_range_rows: int = 0
+    # shuffle-overflow recoveries: capacity-doubling re-runs that were needed
+    # before the exchange fit (0 = first attempt fit)
+    retries: int = 0
     # timing
     wall_s: float = 0.0
 

@@ -84,6 +84,12 @@ def distinct_impl(
     order.  `count` marks live rows under the static-capacity convention.
     One key sort + one record gather.
     """
+    from ..batch import canonical_field
+
+    if canonical_field(field) in (0, 1) and cfg.u32_distinct_engine == "fastpath":
+        from .fastpath import distinct_u32
+
+        return distinct_u32(batch, field, count=count)
     view, keep = distinct_view(batch, field, cfg, count=count)
     return materialize_survivors(batch, view.perm, keep, cfg)
 

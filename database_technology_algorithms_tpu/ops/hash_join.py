@@ -163,6 +163,24 @@ def hash_join_count_impl(
     convention (padding rows never build nor match).
     """
     field = canonical_field(field)
+    if field in (0, 1) and cfg.u32_join_engine != "generic":
+        # single-word key engines (dispatch measured per backend; all three
+        # return identical results — tests/test_placement.py asserts it)
+        if cfg.u32_join_engine == "searchsorted":
+            from .fastpath import hash_join_count_u32
+
+            return hash_join_count_u32(
+                build, probe, field,
+                build_count=build_count, probe_count=probe_count,
+            )
+        if cfg.u32_join_engine == "table":
+            from .hash_table import hash_join_count_table
+
+            return hash_join_count_table(
+                build, probe, field, cfg,
+                build_count=build_count, probe_count=probe_count,
+            )
+        raise ValueError(f"unknown u32_join_engine {cfg.u32_join_engine!r}")
     uniq, counts, n_build = build_key_multiset(build, field, cfg, count=build_count)
     matched, mult = probe_multiplicity(
         uniq, counts, n_build, probe, field, cfg, probe_count=probe_count
@@ -199,14 +217,34 @@ def hash_join_impl(
 hash_join = per_static_jit(hash_join_impl)
 
 
+def materialize_field3_device(
+    probe: RecordBatch, mult: jax.Array, cap: int
+) -> tuple[RecordBatch, jax.Array]:
+    """Device-side segmented expansion: emit probe row j ``mult[j]`` times.
+
+    The reference's field-3 multimap emits one probe row per matching build
+    (num,str) pair (``DatabaseProject.cpp:619-628``) — inner-join
+    multiplicity.  Output size is data-dependent, so the result is
+    capacity-bounded (``cap`` rows) with the true total returned: out row i
+    (i < total) sources probe row ``searchsorted(cumsum(mult), i, 'right')``
+    — a vectorized binary search plus one record gather, the only engine
+    primitive that can DUPLICATE rows (placement sorts only permute).
+    Rows past the total are zeroed; total > cap means the caller's capacity
+    was too small (re-run with cap = total).
+    """
+    c = jnp.cumsum(mult.astype(jnp.int32))
+    total = c[-1] if probe.nrows else jnp.int32(0)
+    i = jnp.arange(cap, dtype=jnp.int32)
+    src = jnp.searchsorted(c, i, side="right").astype(jnp.int32)
+    src = jnp.where(i < total, src, jnp.int32(probe.nrows))
+    return probe.take_fill(src), total
+
+
 def materialize_field3(
     probe: RecordBatch, matched: np.ndarray, mult: np.ndarray
 ) -> RecordBatch:
-    """Host-side: repeat each matched probe row `mult` times (field-3 output).
-
-    Output size is data-dependent (sum of multiplicities), so this runs on
-    host with np.repeat; the device path reports counts only.
-    """
+    """Host-side np.repeat form of ``materialize_field3_device`` (exact
+    output size, used at IO boundaries where the total is already known)."""
     reps = np.asarray(mult)
     cols = probe.to_numpy()
     return RecordBatch.from_numpy(

@@ -12,9 +12,11 @@ Rows are (W,) u32 vectors (the RecordBatch payload packed side by side), so
 one row copy is a contiguous 4·W-byte DMA.  Out-of-range indices (the
 padding convention) read row N of a source array padded with one zero row.
 
-Used opportunistically by batch materialization when it measures faster
-than XLA's gather on the running platform (see tools/bench_gather.py);
-falls back to jnp.take otherwise.
+STATUS: experimental, NOT wired into the engine.  Per-row DMAs are too
+small (144 B) to amortize issue overhead, and XLA's fused row gather
+measures faster on the target chip (tools/bench_gather.py /
+tools/bench_calibrate.py) — kept as the negative-result record and as the
+starting point for a tile-granularity variant.
 """
 
 from __future__ import annotations

@@ -116,39 +116,93 @@ def _shuffle_cap(per_chip_rows: int, ndev: int, cfg: EngineConfig) -> int:
     return min(cap, max(per_chip_rows, 1))
 
 
+# device row footprint: recid(4) + num(4) + strw(128) + valid(1)
+ROW_BYTES = 137
+
+
+def _account_shuffle(stats, mesh: Mesh, rows: int) -> None:
+    """Record exchange traffic in the nios-heir counters (metrics.py).
+
+    Model: every live row crosses the chip boundary once per shuffle
+    ((ndev-1)/ndev of rows actually leave their chip; we count the full
+    all-to-all payload, matching the reference's "count the IO you issued"
+    convention, dbtproj.h:52).  A 1-axis mesh rides ICI; with a 'host' axis
+    the same bytes also transit DCN.
+    """
+    if stats is None:
+        return
+    b = int(rows) * ROW_BYTES
+    stats.bytes_ici += b
+    if "host" in mesh.axis_names:
+        stats.bytes_dcn += b
+
+
+def _run_with_overflow_retry(build_and_run, cap: int, cap_limit: int,
+                             max_retries: int = 3, stats=None):
+    """Call build_and_run(cap); on shuffle overflow, double cap and retry.
+
+    Static capacities keep XLA shapes fixed; a retry therefore recompiles —
+    rare (overflow means the slack was undersized for this key skew) and
+    always correct: results from an overflowing run are DISCARDED, never
+    patched.  cap is clamped to cap_limit (a chip can't send more rows than
+    it holds).  Returns the first non-overflowing result.
+    The reference has no analogue: its hash table simply grows without
+    bound (DatabaseProject.cpp:510-548, SURVEY.md §2 C7).
+    """
+    out, ovf = None, None
+    for attempt in range(max_retries + 1):
+        out, ovf = build_and_run(min(cap, cap_limit))
+        if int(ovf) == 0 or cap >= cap_limit:
+            break
+        cap *= 2
+        if stats is not None:
+            stats.retries += 1
+    return out, ovf
+
+
 # ---------------------------------------------------------------------------
 # hash-partitioned operators
 # ---------------------------------------------------------------------------
 
 
 def dist_distinct(
-    mesh: Mesh, table: DistTable, field, cfg: EngineConfig = DEFAULT_CONFIG
+    mesh: Mesh, table: DistTable, field, cfg: EngineConfig = DEFAULT_CONFIG,
+    stats=None,
 ) -> tuple[DistTable, jax.Array, jax.Array]:
     """Distributed EliminateDuplicates. Returns (table, nunique, overflow)."""
     ndev = mesh_size(mesh)
     per = table.rows_per_chip
-    cap = _shuffle_cap(per, ndev, cfg)
     ax = _axis(mesh)
     row = P(mesh.axis_names)
 
-    @functools.partial(
-        shard_map,
-        mesh=mesh,
-        in_specs=(row, row),
-        out_specs=(row, row, P()),
-        check_vma=False,
-    )
-    def step(batch, count):
-        count = count[0]
-        dest = key_hash(batch, field) % jnp.uint32(ndev)
-        recv, total, ovf = shuffle(batch, count, dest, ax, ndev, cap, cfg)
-        out, n = local_distinct(recv, field, cfg, count=total)
-        return out, n[None].astype(jnp.int32), ovf
+    def run(cap):
+        @functools.partial(
+            shard_map,
+            mesh=mesh,
+            in_specs=(row, row),
+            out_specs=(row, row, P()),
+            check_vma=False,
+        )
+        def step(batch, count):
+            count = count[0]
+            dest = key_hash(batch, field) % jnp.uint32(ndev)
+            recv, total, ovf = shuffle(batch, count, dest, ax, ndev, cap, cfg)
+            out, n = local_distinct(recv, field, cfg, count=total)
+            return out, n[None].astype(jnp.int32), ovf
 
-    out, counts, ovf = resilient_jit(lambda: jax.jit(step))(
-        table.batch, table.count
+        out, counts, ovf = resilient_jit(lambda: jax.jit(step))(
+            table.batch, table.count
+        )
+        return (out, counts), ovf
+
+    (out, counts), ovf = _run_with_overflow_retry(
+        run, _shuffle_cap(per, ndev, cfg), per, stats=stats
     )
     nunique = jnp.sum(counts)
+    if stats is not None:
+        stats.rows_in += per * ndev
+        stats.nunique = int(nunique)
+        _account_shuffle(stats, mesh, per * ndev)
     return DistTable(batch=out, count=counts), nunique, ovf
 
 
@@ -158,67 +212,98 @@ def dist_hash_join(
     probe: DistTable,
     field,
     cfg: EngineConfig = DEFAULT_CONFIG,
+    stats=None,
 ) -> tuple[DistTable, jax.Array, jax.Array]:
     """Distributed semi-join (reference HashJoin semantics, fields 0-2 rows;
     field-3 multiplicity folded into nres). Returns (probe_out, nres, ovf)."""
     ndev = mesh_size(mesh)
-    cap_b = _shuffle_cap(build.rows_per_chip, ndev, cfg)
-    cap_p = _shuffle_cap(probe.rows_per_chip, ndev, cfg)
+    per_max = max(build.rows_per_chip, probe.rows_per_chip)
     ax = _axis(mesh)
     row = P(mesh.axis_names)
 
-    @functools.partial(
-        shard_map,
-        mesh=mesh,
-        in_specs=(row, row, row, row),
-        out_specs=(row, row, P(), P()),
-        check_vma=False,
-    )
-    def step(bb, bc, pb, pc):
-        bc, pc = bc[0], pc[0]
-        bdest = key_hash(bb, field) % jnp.uint32(ndev)
-        pdest = key_hash(pb, field) % jnp.uint32(ndev)
-        brecv, btotal, ovf1 = shuffle(bb, bc, bdest, ax, ndev, cap_b, cfg)
-        precv, ptotal, ovf2 = shuffle(pb, pc, pdest, ax, ndev, cap_p, cfg)
-        matched, mult, _ = local_hash_join_count(
-            brecv, precv, field, cfg, build_count=btotal, probe_count=ptotal
+    def run(cap_scale):
+        cap_b = min(
+            _shuffle_cap(build.rows_per_chip, ndev, cfg) * cap_scale,
+            max(build.rows_per_chip, 1),
         )
-        out, nres_rows = compact(precv, matched, cfg)
-        nres = jax.lax.psum(jnp.sum(mult), ax)
-        return out, nres_rows[None].astype(jnp.int32), nres, ovf1 + ovf2
+        cap_p = min(
+            _shuffle_cap(probe.rows_per_chip, ndev, cfg) * cap_scale,
+            max(probe.rows_per_chip, 1),
+        )
 
-    out, counts, nres, ovf = resilient_jit(lambda: jax.jit(step))(
-        build.batch, build.count, probe.batch, probe.count
+        @functools.partial(
+            shard_map,
+            mesh=mesh,
+            in_specs=(row, row, row, row),
+            out_specs=(row, row, P(), P()),
+            check_vma=False,
+        )
+        def step(bb, bc, pb, pc):
+            bc, pc = bc[0], pc[0]
+            bdest = key_hash(bb, field) % jnp.uint32(ndev)
+            pdest = key_hash(pb, field) % jnp.uint32(ndev)
+            brecv, btotal, ovf1 = shuffle(bb, bc, bdest, ax, ndev, cap_b, cfg)
+            precv, ptotal, ovf2 = shuffle(pb, pc, pdest, ax, ndev, cap_p, cfg)
+            matched, mult, _ = local_hash_join_count(
+                brecv, precv, field, cfg, build_count=btotal, probe_count=ptotal
+            )
+            out, nres_rows = compact(precv, matched, cfg)
+            nres = jax.lax.psum(jnp.sum(mult), ax)
+            return out, nres_rows[None].astype(jnp.int32), nres, ovf1 + ovf2
+
+        out, counts, nres, ovf = resilient_jit(lambda: jax.jit(step))(
+            build.batch, build.count, probe.batch, probe.count
+        )
+        return (out, counts, nres), ovf
+
+    (out, counts, nres), ovf = _run_with_overflow_retry(
+        run, 1, per_max, max_retries=6, stats=stats
     )
+    if stats is not None:
+        stats.rows_in += (build.rows_per_chip + probe.rows_per_chip) * ndev
+        stats.nres = int(nres)
+        _account_shuffle(
+            stats, mesh, (build.rows_per_chip + probe.rows_per_chip) * ndev
+        )
     return DistTable(batch=out, count=counts), nres, ovf
 
 
 def dist_aggregate(
-    mesh: Mesh, table: DistTable, field, cfg: EngineConfig = DEFAULT_CONFIG
+    mesh: Mesh, table: DistTable, field, cfg: EngineConfig = DEFAULT_CONFIG,
+    stats=None,
 ) -> tuple[DistTable, dict, jax.Array]:
     """Distributed group-by aggregate. Returns (reps, aggs, overflow)."""
     ndev = mesh_size(mesh)
-    cap = _shuffle_cap(table.rows_per_chip, ndev, cfg)
+    per = table.rows_per_chip
     ax = _axis(mesh)
     row = P(mesh.axis_names)
 
-    @functools.partial(
-        shard_map,
-        mesh=mesh,
-        in_specs=(row, row),
-        out_specs=(row, row, {"count": row, "sum": row, "min": row, "max": row}, P()),
-        check_vma=False,
-    )
-    def step(batch, count):
-        count = count[0]
-        dest = key_hash(batch, field) % jnp.uint32(ndev)
-        recv, total, ovf = shuffle(batch, count, dest, ax, ndev, cap, cfg)
-        reps, aggs, n = local_group_aggregate(recv, field, cfg, count=total)
-        return reps, n[None].astype(jnp.int32), aggs, ovf
+    def run(cap):
+        @functools.partial(
+            shard_map,
+            mesh=mesh,
+            in_specs=(row, row),
+            out_specs=(row, row, {"count": row, "sum": row, "min": row, "max": row}, P()),
+            check_vma=False,
+        )
+        def step(batch, count):
+            count = count[0]
+            dest = key_hash(batch, field) % jnp.uint32(ndev)
+            recv, total, ovf = shuffle(batch, count, dest, ax, ndev, cap, cfg)
+            reps, aggs, n = local_group_aggregate(recv, field, cfg, count=total)
+            return reps, n[None].astype(jnp.int32), aggs, ovf
 
-    reps, counts, aggs, ovf = resilient_jit(lambda: jax.jit(step))(
-        table.batch, table.count
+        reps, counts, aggs, ovf = resilient_jit(lambda: jax.jit(step))(
+            table.batch, table.count
+        )
+        return (reps, counts, aggs), ovf
+
+    (reps, counts, aggs), ovf = _run_with_overflow_retry(
+        run, _shuffle_cap(per, ndev, cfg), per, stats=stats
     )
+    if stats is not None:
+        stats.rows_in += per * ndev
+        _account_shuffle(stats, mesh, per * ndev)
     return DistTable(batch=reps, count=counts), aggs, ovf
 
 
@@ -248,6 +333,7 @@ def dist_sort(
     field,
     cfg: EngineConfig = DEFAULT_CONFIG,
     sample_per_chip: int = 256,
+    stats=None,
 ) -> tuple[DistTable, jax.Array]:
     """Distributed total-order sort: chip k ends up holding global key-range
     k, locally sorted — concatenating chips in order yields the global sort.
@@ -259,21 +345,21 @@ def dist_sort(
     """
     ndev = mesh_size(mesh)
     per = table.rows_per_chip
-    cap = _shuffle_cap(per, ndev, cfg)
     ax = _axis(mesh)
     row = P(mesh.axis_names)
     npart_words = 1 if field in (0, 1, "0", "1") else min(cfg.str_prefix_words, 3) + (
         1 if field in (3, "3") else 0
     )
 
-    @functools.partial(
-        shard_map,
-        mesh=mesh,
-        in_specs=(row, row),
-        out_specs=(row, row, P()),
-        check_vma=False,
-    )
-    def step(batch, count):
+    def run(cap):
+      @functools.partial(
+          shard_map,
+          mesh=mesh,
+          in_specs=(row, row),
+          out_specs=(row, row, P()),
+          check_vma=False,
+      )
+      def step(batch, count):
         count = count[0]
         words = key_words(batch, field, nwords=npart_words)[:npart_words]
         n = batch.nrows
@@ -299,7 +385,15 @@ def dist_sort(
         out, _ = local_sort_batch(recv, field, cfg, count=total)
         return out, total[None].astype(jnp.int32), ovf
 
-    out, counts, ovf = resilient_jit(lambda: jax.jit(step))(
-        table.batch, table.count
+      out, counts, ovf = resilient_jit(lambda: jax.jit(step))(
+          table.batch, table.count
+      )
+      return (out, counts), ovf
+
+    (out, counts), ovf = _run_with_overflow_retry(
+        run, _shuffle_cap(per, ndev, cfg), per, stats=stats
     )
+    if stats is not None:
+        stats.rows_in += per * ndev
+        _account_shuffle(stats, mesh, per * ndev)
     return DistTable(batch=out, count=counts), ovf

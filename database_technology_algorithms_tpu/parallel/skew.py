@@ -112,7 +112,9 @@ def dist_hash_join_skew(
     cap_p = _shuffle_cap(per_p, ndev, cfg)
     # hot build capacity: hot keys are few (≤ ndev*topk), but each chip may
     # hold several build rows per hot key pre-gather (build not pre-deduped)
-    cap_hot = min(max(ndev * cfg.hh_topk, 64), per_b)
+    # hot list = probe-side + build-side candidates (2 * ndev * topk hashes);
+    # after local dedup each chip contributes at most one row per hot key
+    cap_hot = min(max(2 * ndev * cfg.hh_topk, 64), per_b)
 
     @functools.partial(
         shard_map,
@@ -133,7 +135,17 @@ def dist_hash_join_skew(
         threshold = jnp.maximum(
             total_probe // (ndev * cfg.hh_factor), 1
         ).astype(jnp.int32)
-        hot = hot_hash_set(ph, p_active, ax, cfg.hh_topk, threshold)
+        hot_p = hot_hash_set(ph, p_active, ax, cfg.hh_topk, threshold)
+        # build-side heavy hitters too: a key with many duplicate BUILD rows
+        # (cold probe) would otherwise funnel every duplicate to one chip's
+        # cap_b; routing it down the hot path dedups locally first (semi-join
+        # build is a key set) so only one row per key per chip is gathered
+        total_build = jax.lax.psum(bc, ax)
+        threshold_b = jnp.maximum(
+            total_build // (ndev * cfg.hh_factor), 1
+        ).astype(jnp.int32)
+        hot_b = hot_hash_set(bh, b_active, ax, cfg.hh_topk, threshold_b)
+        hot = jnp.concatenate([hot_p, hot_b])
         n_hot = jnp.sum(hot != jnp.uint32(0xFFFFFFFF))
 
         b_hot = in_hash_set(bh, hot) & b_active

@@ -147,10 +147,17 @@ def test_skew_join_zipf(rng, mesh):
     tb = distribute(mesh, build)
     tp = distribute(mesh, probe)
 
-    # plain hash-partition overflows its slots on the hot key...
-    _, _, ovf_plain = dist_hash_join(mesh, tb, tp, 1, cfg)
-    assert int(ovf_plain) > 0
-    # ...the skew-aware join does not, and is exact
+    # plain hash-partition overflows its slots on the hot key, detects it,
+    # and recovers by re-running with doubled capacity (still exact)
+    from database_technology_algorithms_tpu.metrics import OperatorStats
+
+    st = OperatorStats(op="dist_hash_join")
+    _, nres_plain, ovf_plain = dist_hash_join(mesh, tb, tp, 1, cfg, stats=st)
+    assert st.retries > 0  # the 1.5-slack capacity really did overflow
+    assert int(ovf_plain) == 0  # ...and the retry absorbed it
+    _, _, m_nres_plain = M.model_hash_join(build, probe, 1)
+    assert int(nres_plain) == m_nres_plain
+    # the skew-aware join needs no retry at all
     out, nres, ovf, n_hot = dist_hash_join_skew(mesh, tb, tp, 1, cfg)
     assert int(ovf) == 0
     assert int(n_hot) >= 1
@@ -159,6 +166,35 @@ def test_skew_join_zipf(rng, mesh):
     # emitted rows: multiset of matched probe rows
     got = collect(out)
     m_matched, _, _ = M.model_hash_join(build, probe, 1)
+    keep = [i for i, m in enumerate(m_matched) if m]
+    exp = sorted(zip(probe["recid"][keep].tolist(), probe["num"][keep].tolist()))
+    gotr = sorted(zip(got["recid"].tolist(), got["num"].tolist()))
+    assert gotr == exp
+
+
+def test_skew_join_build_side_hot(rng, mesh):
+    """Build-side skew: one key holds half the BUILD rows (cold probe).
+
+    Local dedup on the hot path collapses the duplicates before the
+    broadcast, so the skew join needs no capacity retry; counts and rows
+    stay exact (SURVEY.md §7 hard part #3, VERDICT r1 weak #8)."""
+    from database_technology_algorithms_tpu.parallel.skew import dist_hash_join_skew
+
+    n = 4000
+    build = M.random_cols(rng, n, key_range=50)
+    hot_rows = rng.random(n) < 0.5
+    build["num"] = np.where(hot_rows, 9, build["num"]).astype(np.uint32)
+    probe = M.random_cols(rng, 600, key_range=50)
+
+    cfg = EngineConfig(shuffle_slack=1.5, hh_factor=4, hh_topk=8)
+    tb = distribute(mesh, build)
+    tp = distribute(mesh, probe)
+    out, nres, ovf, n_hot = dist_hash_join_skew(mesh, tb, tp, 1, cfg)
+    assert int(ovf) == 0
+    assert int(n_hot) >= 1
+    m_matched, _, m_nres = M.model_hash_join(build, probe, 1)
+    assert int(nres) == m_nres
+    got = collect(out)
     keep = [i for i, m in enumerate(m_matched) if m]
     exp = sorted(zip(probe["recid"][keep].tolist(), probe["num"][keep].tolist()))
     gotr = sorted(zip(got["recid"].tolist(), got["num"].tolist()))

@@ -121,6 +121,51 @@ def test_hash_join_engines_agree(rng, field):
         np.testing.assert_array_equal(_np(a)[k], _np(b)[k])
 
 
+@pytest.mark.parametrize("engine", ["searchsorted", "table"])
+@pytest.mark.parametrize("field", [0, 1])
+def test_u32_join_engines_agree(rng, field, engine):
+    from database_technology_algorithms_tpu.ops import hash_join_count
+
+    r = M.to_batch(M.random_cols(rng, 170))
+    s = M.to_batch(M.random_cols(rng, 170))
+    cfg = EngineConfig(u32_join_engine=engine)
+    ma, mua, na = hash_join_count(r, s, field, cfg)
+    mb, mub, nb = hash_join_count(r, s, field, EngineConfig())
+    assert int(na) == int(nb)
+    np.testing.assert_array_equal(np.asarray(ma), np.asarray(mb))
+    np.testing.assert_array_equal(np.asarray(mua), np.asarray(mub))
+
+
+@pytest.mark.parametrize("field", [0, 1])
+def test_u32_distinct_engine_agrees(rng, field):
+    r = M.to_batch(M.random_cols(rng, 230))
+    a, na = distinct(r, field, EngineConfig(u32_distinct_engine="fastpath"))
+    b, nb = distinct(r, field, EngineConfig())
+    assert int(na) == int(nb)
+    for k in ("recid", "num", "strs", "valid"):
+        np.testing.assert_array_equal(_np(a)[k], _np(b)[k])
+
+
+def test_field3_device_materialization_matches_host(rng):
+    from database_technology_algorithms_tpu.ops import hash_join_count
+    from database_technology_algorithms_tpu.ops.hash_join import (
+        materialize_field3,
+        materialize_field3_device,
+    )
+
+    b = M.to_batch(M.random_cols(rng, 150, key_range=12))
+    p = M.to_batch(M.random_cols(rng, 150, key_range=12))
+    matched, mult, nres = hash_join_count(b, p, 3)
+    host = materialize_field3(p, np.asarray(matched), np.asarray(mult))
+    cap = 4 * 150
+    dev, total = materialize_field3_device(p, mult, cap)
+    assert int(total) == int(nres) == host.nrows
+    hn, dn = host.to_numpy(), dev.to_numpy()
+    for k in ("recid", "num", "strs", "valid"):
+        np.testing.assert_array_equal(dn[k][: int(total)], hn[k])
+    assert np.all(dn["recid"][int(total):] == 0)
+
+
 def test_compact_engines_agree(rng):
     cols = M.random_cols(rng, 300)
     batch = M.to_batch(cols)
