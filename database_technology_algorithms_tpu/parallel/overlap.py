@@ -1,0 +1,209 @@
+"""Exchange/compute-overlapped distributed hash join (key-only traffic).
+
+SURVEY.md §2.3 / §7 M4: the north star's shuffle is "double-buffered async
+copies overlapped with probe/merge compute".  The barrier form
+(``dist_ops.dist_hash_join``) ships full 137-byte records both ways and
+lands every byte before the first probe compare.
+
+This variant restructures the semi-join so that ONLY KEYS cross the wire
+(late materialization across the interconnect):
+
+  1. build keys hash-partition to their owner chip (one all_to_all of u32
+     words), where they become one sorted unique-key array;
+  2. probe KEYS partition into per-destination slots locally, then exchange
+     in ``nchunks`` independent all_to_all slices; chunk c's membership
+     probe (vectorized binary search) consumes nothing from chunk c+1, so
+     XLA's async collectives overlap chunk c+1's exchange with chunk c's
+     compute (TPU; the CPU test backend runs the same program serially);
+  3. each chunk's match mask rides an all_to_all BACK to the probe rows'
+     source chip (tiled all_to_all block s returns to source s);
+  4. matched probe rows are emitted LOCALLY — the 137-byte payload never
+     crosses the interconnect at all (37 bytes/row -> 10 bytes/row moved).
+
+Scope: single-word key domains ('0' recid, '1' num — the reference
+benchmark field, main.cpp:114).  String fields take the barrier path.
+
+Semantics preserved (reference HashJoin, DatabaseProject.cpp:504-647):
+semi-join — matched probe rows, probe multiplicity kept, build collapsed to
+a key set.  Output rows live on their SOURCE chip (the barrier form leaves
+them on the key-owner chip); all cross-chip results are multiset-equal.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+from ..batch import RecordBatch, canonical_field
+from ..config import DEFAULT_CONFIG, EngineConfig
+from ..ops._jit import resilient_jit
+from ..ops.filter import compact
+from ..ops.keys import key_hash
+from .dist_ops import DistTable, _run_with_overflow_retry, _shuffle_cap
+from .mesh import mesh_size
+from .shuffle import _dest_ranks
+
+U32_MAX = np.uint32(0xFFFFFFFF)
+
+
+def _u32_key(batch: RecordBatch, field) -> jax.Array:
+    return batch.recid if canonical_field(field) == 0 else batch.num
+
+
+def _partition_word_to_slots(
+    word: jax.Array, count: jax.Array, dest: jax.Array, ndev: int, cap: int
+) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Slot-pack ONE u32 word by destination (key-only partition).
+
+    Returns (slots[ndev*cap] with U32_MAX filler, slot_of_row[n] (=m for
+    dropped rows), counts[ndev], overflow).  Pure VPU + one tiny scatter-free
+    placement: the slot array is built with a 2-operand placement sort.
+    """
+    n = word.shape[0]
+    m = ndev * cap
+    idx = jnp.arange(n, dtype=jnp.int32)
+    valid = idx < count
+    dest = jnp.where(valid, dest.astype(jnp.int32), ndev)
+    counts, rank = _dest_ranks(dest, ndev)
+    ok = (dest < ndev) & (rank < cap)
+    slot = jnp.where(ok, dest * cap + rank, m)
+    # build the slot array: real rows keyed 2*slot, placeholders pin the
+    # unoccupied slots at 2*slot+1, everything else sinks past m
+    real_key = jnp.where(ok, 2 * slot, 2 * m + idx).astype(jnp.uint32)
+    j = jnp.arange(m, dtype=jnp.int32)
+    occupied = (j % cap) < counts[j // cap]
+    ph_key = jnp.where(occupied, 2 * m + n + j, 2 * j + 1).astype(jnp.uint32)
+    keys = jnp.concatenate([real_key, ph_key])
+    payload = jnp.concatenate([word, jnp.full((m,), U32_MAX, word.dtype)])
+    placed = jax.lax.sort((keys, payload), num_keys=1)[1][:m]
+    send_counts = jnp.minimum(counts[:ndev], cap)
+    overflow = jnp.sum(jnp.maximum(counts[:ndev] - cap, 0))
+    return placed, slot, send_counts, overflow
+
+
+def dist_hash_join_overlapped(
+    mesh: Mesh,
+    build: DistTable,
+    probe: DistTable,
+    field,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    nchunks: int = 4,
+    stats=None,
+) -> tuple[DistTable, jax.Array, jax.Array]:
+    """Overlapped, key-only-traffic distributed semi-join (u32 fields).
+
+    Returns (probe_out, nres, overflow); output rows stay on their source
+    chip (multiset-equal to ``dist_hash_join``)."""
+    field = canonical_field(field)
+    assert field in (0, 1), "overlapped join covers u32 fields; use dist_hash_join"
+    ndev = mesh_size(mesh)
+    per_b, per_p = build.rows_per_chip, probe.rows_per_chip
+    ax = mesh.axis_names if len(mesh.axis_names) > 1 else mesh.axis_names[0]
+    row = P(mesh.axis_names)
+
+    def run(cap_scale):
+        cap_b = min(_shuffle_cap(per_b, ndev, cfg) * cap_scale, max(per_b, 1))
+        cap_p0 = min(_shuffle_cap(per_p, ndev, cfg) * cap_scale, max(per_p, 1))
+        chunk_cap = -(-cap_p0 // nchunks)
+        cap_p = chunk_cap * nchunks
+
+        @functools.partial(
+            shard_map,
+            mesh=mesh,
+            in_specs=(row, row, row, row),
+            out_specs=(row, row, P(), P()),
+            check_vma=False,
+        )
+        def step(bb, bc, pb, pc):
+            bc, pc = bc[0], pc[0]
+            a2a = lambda x: jax.lax.all_to_all(x, ax, 0, 0, tiled=True)
+
+            # ---- build: key-only shuffle, one sorted unique key array ----
+            bkey = _u32_key(bb, field)
+            bdest = key_hash(bb, field) % jnp.uint32(ndev)
+            bslots, _, bcounts, bovf = _partition_word_to_slots(
+                bkey, bc, bdest, ndev, cap_b
+            )
+            bkey_recv = a2a(bslots)
+            brc = a2a(bcounts)
+            pos_b = jnp.arange(ndev * cap_b, dtype=jnp.int32)
+            live_b = (pos_b % cap_b) < brc[pos_b // cap_b]
+            dead_w = (~live_b).astype(jnp.uint32)
+            _, bkeys_sorted = jax.lax.sort((dead_w, bkey_recv), num_keys=2)
+            n_bkeys = jnp.sum(live_b, dtype=jnp.int32)
+            bkeys = jnp.where(pos_b < n_bkeys, bkeys_sorted, U32_MAX)
+
+            # ---- probe: key slots once, exchange + probe + mask-return in
+            # nchunks independent slices (compute overlaps neighbours' comms)
+            pkey = _u32_key(pb, field)
+            pdest = key_hash(pb, field) % jnp.uint32(ndev)
+            pslots, slot_of_row, pcounts, povf = _partition_word_to_slots(
+                pkey, pc, pdest, ndev, cap_p
+            )
+            prc = a2a(pcounts)
+            within_c = jnp.arange(ndev * chunk_cap, dtype=jnp.int32) % chunk_cap
+            src_c = jnp.arange(ndev * chunk_cap, dtype=jnp.int32) // chunk_cap
+
+            mask_slot_chunks = []
+            for c in range(nchunks):
+                lo = c * chunk_cap
+                chunk = pslots.reshape(ndev, cap_p)[
+                    :, lo : lo + chunk_cap
+                ].reshape(ndev * chunk_cap)
+                k_recv = a2a(chunk)
+                live_c = (lo + within_c) < prc[src_c]
+                pos = jnp.searchsorted(bkeys, k_recv)
+                hit = (
+                    (pos < n_bkeys)
+                    & (jnp.take(bkeys, pos, mode="clip") == k_recv)
+                    & live_c
+                )
+                # mask rides BACK to the probe rows' source chip: tiled
+                # all_to_all returns block s to source s
+                mask_slot_chunks.append(a2a(hit.astype(jnp.uint32)))
+
+            # stitch chunk masks back into slot order [ndev, cap_p]
+            mask_slots = jnp.stack(
+                [m.reshape(ndev, chunk_cap) for m in mask_slot_chunks], axis=1
+            ).reshape(ndev, cap_p)  # [d, c*chunk_cap + w] = chunk c's block d
+            mask_flat = jnp.concatenate(
+                [jnp.reshape(mask_slots, (ndev * cap_p,)), jnp.zeros(1, jnp.uint32)]
+            )
+            # back to original row order: each row knows its slot (dropped
+            # rows got the sentinel slot -> mask 0)
+            slot_idx = jnp.minimum(slot_of_row, ndev * cap_p)
+            matched = jnp.take(mask_flat, slot_idx) == 1
+
+            # ---- emit locally: the payload never crossed the wire --------
+            out, nres_rows = compact(pb, matched, cfg)
+            nres = jax.lax.psum(nres_rows, ax)
+            return (
+                out,
+                nres_rows[None].astype(jnp.int32),
+                nres,
+                jax.lax.psum(bovf + povf, ax),
+            )
+
+        out, counts, nres, ovf = resilient_jit(lambda: jax.jit(step))(
+            build.batch, build.count, probe.batch, probe.count
+        )
+        return (out, counts, nres), ovf
+
+    (out, counts, nres), ovf = _run_with_overflow_retry(
+        run, 1, max(per_b, per_p), max_retries=6, stats=stats
+    )
+    if stats is not None:
+        # key-only traffic: 4 B per build key + 4 B per probe key each way
+        # + 4 B mask back (vs 137 B/row in the barrier join)
+        b = (per_b + 2 * per_p) * ndev * 4
+        stats.rows_in += (per_b + per_p) * ndev
+        stats.nres = int(nres)
+        stats.bytes_ici += b
+        if "host" in mesh.axis_names:
+            stats.bytes_dcn += b
+    return DistTable(batch=out, count=counts), nres, ovf
