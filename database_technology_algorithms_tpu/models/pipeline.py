@@ -34,21 +34,15 @@ from ..batch import RecordBatch
 from ..config import DEFAULT_CONFIG, EngineConfig
 from ..ops._jit import per_static_jit, resilient_jit
 from ..ops.aggregate import group_aggregate_impl
-from ..ops.distinct import distinct_impl, distinct_view
+from ..ops.distinct import distinct_impl
 from ..ops.filter import compact
 from ..ops.hash_join import hash_join_count_impl
-from ..ops.keys import key_hash
 from ..ops.merge_join import join_sorted_distinct_impl
-from ..ops.movement import compact_words, sort_words
+from ..ops.keys import key_hash
+from ..ops.movement import compact_words
 from ..ops.sort import sort_keys
 from ..parallel.mesh import mesh_size
 from ..parallel.shuffle import shuffle
-
-
-def _mask_to_original_order(perm: jax.Array, mask_sorted: jax.Array) -> jax.Array:
-    """Un-permute a sorted-order mask back to original row order (one sort)."""
-    _, (m,) = sort_words([perm.astype(jnp.uint32)], (mask_sorted.astype(jnp.uint32),))
-    return m == 1
 
 
 def pipeline_single_impl(
@@ -57,94 +51,121 @@ def pipeline_single_impl(
     field: int = 1,
     cfg: EngineConfig = DEFAULT_CONFIG,
 ) -> dict:
-    """Full single-chip plan, late-materialized; one XLA program.
+    """Full single-chip plan from ONE fused key sort; one XLA program.
+
+    Round-1 ran five key sorts (distinct views per side, two mask
+    un-permutes, a join sort, an aggregate sort); measured sort cost on the
+    target chip is ~0.36 ms per operand word per 1M rows and 15-65 s of
+    compile per distinct sort shape (tools/bench_calibrate3.py), so the
+    restructure derives EVERYTHING — both sides' distinct counts, the
+    merge-join pair set, the hash-join cross-check, and the group
+    aggregates — from a single sort of R||S by (valid, key, side) plus VPU
+    scans.  Row movement happens exactly once, materializing the join
+    output (placement sorts on TPU, one fused gather elsewhere).
 
     Returns the reference driver's counters plus the join output:
     nunique_r/s (EliminateDuplicates), merge_nres (MergeJoin), hash_nres
     (HashJoin on the dedup'd inputs — the driver's cross-check must equal
-    merge_nres), agg_groups, and the merge-join output batch + count.
+    merge_nres), agg_groups + per-group aggregates, and the merge-join
+    output batch + count.
     """
+    from ..ops.scan import seg_carry, seg_max, seg_min
+
     nr, ns = r.nrows, s.nrows
+    n = nr + ns
 
     # selection filter: the valid flag is the reference format's predicate
     # slot (dbtproj.h:24) — applied as an activity MASK, zero data movement
-    r_act, s_act = r.valid, s.valid
-
-    # sort + distinct both sides at the key level (EliminateDuplicates,
-    # DatabaseProject.cpp:393-394)
-    rv, rkeep = distinct_view(r, field, cfg, active=r_act)
-    sv, skeep = distinct_view(s, field, cfg, active=s_act)
-    nu_r = jnp.sum(rkeep, dtype=jnp.int32)
-    nu_s = jnp.sum(skeep, dtype=jnp.int32)
-
-    # survivor masks back in original row order (one tiny sort each)
-    r_surv = _mask_to_original_order(rv.perm, rkeep)
-    s_surv = _mask_to_original_order(sv.perm, skeep)
-
-    # sorted-intersection join over the survivors (MergeJoin semantics):
-    # concat → key sort → adjacent [R,S] pair detection
     both = RecordBatch.concat([r, s])
-    idx = jnp.arange(nr + ns, dtype=jnp.int32)
+    idx = jnp.arange(n, dtype=jnp.int32)
     side = (idx >= nr).astype(jnp.uint32)
-    active = jnp.concatenate([r_surv, s_surv])
-    jview = sort_keys(
+    active = both.valid
+
+    # THE sort: actives first, by key, R before S within a key, stable
+    view = sort_keys(
         both, field, cfg,
         pre_words=((~active).astype(jnp.uint32),),
         post_words=(side,),
-        extra=(side, active.astype(jnp.uint32)),
+        extra=(side, active.astype(jnp.uint32), both.num),
     )
-    j_side, j_act = jview.extras
-    eq_next = jview.adj_eq[1:]
-    pair = (
-        eq_next
-        & (j_side[:-1] == 0) & (j_side[1:] == 1)
-        & (j_act[:-1] == 1) & (j_act[1:] == 1)
-    )
-    matched = jnp.concatenate([pair, jnp.zeros(1, dtype=bool)])
+    v_side, v_act, v_num = view.extras
+    adj = view.adj_eq  # same FULL key as previous sorted row
+    act = v_act == 1
+    is_r = act & (v_side == 0)
+    is_s = act & (v_side == 1)
+    prev_side = jnp.concatenate([jnp.zeros(1, jnp.uint32), v_side[:-1]])
+
+    # distinct firsts (EliminateDuplicates, DatabaseProject.cpp:94-170):
+    # actives form a prefix and R precedes S within each key run, so the
+    # first R of a run sits at the run start and the first S follows the
+    # last R (or starts the run)
+    r_first = is_r & ~adj
+    s_first = is_s & ~(adj & (prev_side == 1))
+    nu_r = jnp.sum(r_first, dtype=jnp.int32)
+    nu_s = jnp.sum(s_first, dtype=jnp.int32)
+
+    # run-level intersection (MergeJoin = distinct-key intersection,
+    # DatabaseProject.cpp:384-502): a key matches iff its run has an active
+    # R head AND any active S
+    is_start = ~adj
+    run_has_r = seg_carry(is_start, r_first.astype(jnp.uint32)) == 1
+    # any active S at-or-after each row within its run: reverse seg-max
+    end_flags = jnp.concatenate([is_start[1:], jnp.ones(1, bool)])
+    any_s_suffix = jnp.flip(
+        seg_max(jnp.flip(end_flags), jnp.flip(is_s.astype(jnp.uint32)))
+    ) == 1
+    matched = r_first & any_s_suffix  # the matched R survivor of each key
     mj_n = jnp.sum(matched, dtype=jnp.int32)
 
-    # the ONE record materialization: emit matched R rows (R-capacity
-    # output).  Matched rows are always R-side, so the placement path moves
-    # only the R half (ops/movement.py grouped placement sorts); gather
-    # backends take one fused record gather.
+    # hash-join cross-check (main.cpp:121 runs HashJoin on the dedup'd
+    # files): count distinct S keys whose run is headed by an R survivor
+    hj_n = jnp.sum((s_first & run_has_r).astype(jnp.int32))
+
+    # group aggregates over the filtered S side (BASELINE config 5's hash
+    # aggregate), same view: S rows of a key are contiguous
+    nxt_adj = jnp.concatenate([adj[1:], jnp.zeros(1, bool)])
+    nxt_is_s = jnp.concatenate([is_s[1:], jnp.zeros(1, bool)])
+    s_end = is_s & ~(nxt_adj & nxt_is_s)
+    c_incl = jnp.cumsum(is_s.astype(jnp.int32))
+    s_incl = jnp.cumsum(jnp.where(is_s, v_num, 0).astype(jnp.uint32))
+    run_min = seg_min(s_first, jnp.where(is_s, v_num, jnp.uint32(0xFFFFFFFF)))
+    run_max = seg_max(s_first, jnp.where(is_s, v_num, jnp.uint32(0)))
+    _, (ec, es, emin, emax) = compact_words(s_end, (c_incl, s_incl, run_min, run_max))
+    gidx = jnp.arange(n, dtype=jnp.int32)
+    live_g = gidx < nu_s
+    prev_c = jnp.concatenate([jnp.zeros(1, jnp.int32), ec[:-1]])
+    prev_s = jnp.concatenate([jnp.zeros(1, jnp.uint32), es[:-1]])
+    aggs = {
+        "count": jnp.where(live_g, ec - prev_c, 0)[:ns],
+        "sum": jnp.where(live_g, es - prev_s, 0)[:ns],
+        "min": jnp.where(live_g, emin, jnp.uint32(0xFFFFFFFF))[:ns],
+        "max": jnp.where(live_g, emax, 0)[:ns],
+    }
+
+    # the ONE record materialization: emit matched R rows in key order
+    # (R-capacity output).  Matched rows are always R-side, so the
+    # placement path moves only the R half (ops/movement.py grouped
+    # placement sorts); gather backends take one fused record gather.
     from ..ops.movement import permute_rows, use_sort_placement
     from ..ops.sort import survivor_dest
 
     if use_sort_placement(cfg):
-        dest, cnt = survivor_dest(jview.perm, matched)
+        dest, cnt = survivor_dest(view.perm, matched)
         mj_out = permute_rows(r, dest[:nr], count=cnt)
     else:
-        cnt, (orig_front,) = compact_words(matched, (jview.perm,))
+        cnt, (orig_front,) = compact_words(matched, (view.perm,))
         gather_idx = jnp.where(
-            jnp.arange(nr, dtype=jnp.int32) < cnt, orig_front[:nr], jnp.int32(nr + ns)
+            jnp.arange(nr, dtype=jnp.int32) < cnt, orig_front[:nr], jnp.int32(n)
         )
         mj_out = both.take_fill(gather_idx)
-
-    # cross-check: hash semi-join count of the dedup'd S against the dedup'd
-    # R build set (what main.cpp:121 actually runs), via the hash-join
-    # engine's segmented-scan counting over the SAME sorted view (the sort
-    # call was formerly duplicated verbatim and merely CSE'd away) — count S
-    # survivors whose equal-key run head is an R survivor.
-    from ..ops.scan import seg_carry
-
-    is_start = ~jview.adj_eq
-    head_is_build = is_start & (j_side == 0) & (j_act == 1)
-    carry = seg_carry(is_start, head_is_build.astype(jnp.uint32))
-    hj_n = jnp.sum(
-        ((j_side == 1) & (j_act == 1) & (carry == 1)).astype(jnp.int32)
-    )
-
-    # hash aggregate over the (filtered) probe table — counters only
-    _, aggs, n_groups = group_aggregate_impl(
-        s, field, cfg, active=s_act, materialize_reps=False
-    )
 
     return {
         "nunique_r": nu_r,
         "nunique_s": nu_s,
         "merge_nres": mj_n,
         "hash_nres": hj_n,
-        "agg_groups": n_groups,
+        "agg_groups": nu_s,
+        "aggs": aggs,
         "join_out": mj_out,
         "join_count": mj_n,
     }

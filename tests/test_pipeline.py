@@ -16,7 +16,7 @@ from database_technology_algorithms_tpu.parallel import distribute, make_mesh
 CFG = EngineConfig(shuffle_slack=4.0)
 
 
-@pytest.mark.parametrize("field", [0, 1, 2])
+@pytest.mark.parametrize("field", [0, 1, 2, 3])
 def test_pipeline_single_counters(rng, field):
     c1 = M.random_cols(rng, 600, key_range=80)
     c2 = M.random_cols(rng, 500, key_range=80)
@@ -31,6 +31,43 @@ def test_pipeline_single_counters(rng, field):
     assert int(out["hash_nres"]) == mj
     agg, keys = M.model_group_aggregate(c2, field)
     assert int(out["agg_groups"]) == len(keys)
+
+
+@pytest.mark.parametrize("field", [0, 1, 2, 3])
+def test_pipeline_single_join_output_rows(rng, field):
+    """join_out must hold exactly the model's matched R survivors, in key
+    order, zero-padded past join_count (all four key domains)."""
+    c1 = M.random_cols(rng, 400, key_range=70)
+    c2 = M.random_cols(rng, 350, key_range=70)
+    out = pipeline_single(M.to_batch(c1), M.to_batch(c2), field, CFG)
+    matched_idx, mj = M.model_merge_join(c1, c2, field)
+    cnt = int(out["join_count"])
+    assert cnt == mj
+    got = out["join_out"].to_numpy()
+    # model indices are in sorted-key order already (model_distinct order)
+    np.testing.assert_array_equal(got["recid"][:cnt], c1["recid"][matched_idx])
+    np.testing.assert_array_equal(got["num"][:cnt], c1["num"][matched_idx])
+    np.testing.assert_array_equal(got["strs"][:cnt], c1["strs"][matched_idx])
+    assert np.all(got["recid"][cnt:] == 0)
+
+
+@pytest.mark.parametrize("field", [1, 3])
+def test_pipeline_single_aggregates(rng, field):
+    """Per-group aggregates from the fused view match the model (count, sum,
+    min, max over num per distinct S key, sorted key order)."""
+    c1 = M.random_cols(rng, 200, key_range=30)
+    c2 = M.random_cols(rng, 300, key_range=30)
+    out = pipeline_single(M.to_batch(c1), M.to_batch(c2), field, CFG)
+    agg, keys_sorted = M.model_group_aggregate(c2, field)
+    ng = int(out["agg_groups"])
+    assert ng == len(keys_sorted)
+    a = {k: np.asarray(v) for k, v in out["aggs"].items()}
+    for g, k in enumerate(keys_sorted):
+        ec, es, emn, emx = agg[k]
+        assert int(a["count"][g]) == ec, (g, k)
+        assert int(a["sum"][g]) == es % (1 << 32)
+        assert int(a["min"][g]) == emn
+        assert int(a["max"][g]) == emx
 
 
 def test_pipeline_single_invalid_rows_filtered(rng):
