@@ -7,15 +7,17 @@ rows/s.  This runs the same logical pipeline (plus the hash-join cross-check
 and a hash aggregate) as one XLA program on one TPU chip, data generated
 on-device (reference distribution: num uniform in [0, 30*nblocks)).
 
-Measurement notes (tools/bench_calibrate*.py):
+Measurement notes (tools/bench_calibrate*.py, PERF_NOTES.md):
   * block_until_ready does not reliably fence execution through the axon
-    tunnel and every synced call carries a fixed ~24 ms round trip, so each
-    program runs K iterations inside ONE lax.fori_loop with a data
-    dependency between iterations, is fenced by a device->host scalar
-    readback, and reports (t_K - t_base)/K;
-  * the headline program RETURNS THE JOIN OUTPUT COLUMNS and folds them
-    into the loop carry, so the record materialization cannot be dead-code
-    eliminated (round-1 weakness: counters-only bench);
+    tunnel, and every synced call carries a fixed ~26 ms round trip — each
+    timing therefore ends with a device->host scalar readback (which does
+    fence) and reports the K-dispatch steady state:
+    (time of K queued dispatches + fence  -  time of 1 dispatch + fence)
+    / (K - 1), which cancels the round trip without wrapping the program
+    in lax.fori_loop (loop-wrapped sort programs compile pathologically);
+  * the headline program RETURNS the materialized join output, whose sum
+    feeds the fenced scalar, so the record materialization cannot be
+    dead-code eliminated (round-1 weakness: counters-only bench);
   * a counters-only variant is reported alongside for comparison.
 
 Prints per-op roofline lines (fraction of HBM speed-of-light, the north
@@ -32,7 +34,7 @@ import jax.numpy as jnp
 
 ROWS = 1_000_000
 KEY_RANGE = 300_000
-K = 4  # loop iterations per timed program
+K = 6  # queued dispatches per steady-state timing
 BASELINE_ROWS_PER_S = 155_700.0  # BASELINE.md MergeJoin pipeline, 1 x86 core
 
 
@@ -42,18 +44,24 @@ def fence(out) -> float:
     return float(jnp.asarray(leaf).reshape(-1)[0])
 
 
-def timed(fn, args, reps=3):
+def timed_steady(fn, args, reps=2):
+    """(per_iter_s, compile_s): K-dispatch steady state minus 1-dispatch."""
     f = jax.jit(fn)
     t0 = time.perf_counter()
-    out = f(*args)
-    fence(out)
+    fence(f(*args))
     compile_s = time.perf_counter() - t0
     best = 1e9
     for _ in range(reps):
         t0 = time.perf_counter()
-        out = f(*args)
+        fence(f(*args))
+        t1 = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(K):
+            out = f(*args)
         fence(out)
-        best = min(best, time.perf_counter() - t0)
+        tk = time.perf_counter() - t0
+        best = min(best, max((tk - t1) / (K - 1), 1e-9))
     return best, compile_s
 
 
@@ -78,112 +86,59 @@ def main() -> int:
     jax.block_until_ready((r, s))
     gen_s = time.perf_counter() - t0
 
-    # baseline: fixed per-call overhead (tunnel round trip + dispatch)
-    def base_loop(x):
-        return jax.lax.fori_loop(0, K, lambda i, a: a + 1, x)
-
-    t_base, _ = timed(base_loop, (jnp.uint32(0),))
-
     results = []  # (name, per_iter_s, compile_s, audit_op, rows)
 
-    def run(name, loop_fn, args, audit_op, rows):
-        t, c = timed(loop_fn, args)
-        per = max((t - t_base) / K, 1e-9)
+    def run(name, fn, args, audit_op, rows):
+        per, c = timed_steady(fn, args)
         results.append((name, per, c, audit_op, rows))
         return per
 
     # ---- headline: full pipeline, join output MATERIALIZED + consumed ----
-    def pipe_mat_loop(r, s):
-        def body(i, carry):
-            rr, acc = carry
-            out = pipeline_single_impl(rr, s, field=1)
-            j = out["join_out"]
-            # fold the materialized output into the carry: every column of
-            # join_out feeds the accumulator, so nothing can be DCE'd; the
-            # next iteration's input depends on the accumulator (ordering)
-            acc = (
-                acc
-                + jnp.sum(j.recid, dtype=jnp.uint32)
-                + jnp.sum(j.num, dtype=jnp.uint32)
-                + jnp.sum(j.strw, dtype=jnp.uint32)
-                + out["merge_nres"].astype(jnp.uint32)
-                + out["hash_nres"].astype(jnp.uint32)
-            )
-            rr = type(rr)(
-                recid=rr.recid + jnp.uint32(1),  # new data each iter: no LICM/CSE
-                num=rr.num,
-                strw=rr.strw,
-                valid=rr.valid,
-            )
-            return rr, acc
-        _, acc = jax.lax.fori_loop(0, K, body, (r, jnp.uint32(0)))
+    def pipe_mat(r, s):
         out = pipeline_single_impl(r, s, field=1)
-        return acc, out["merge_nres"], out["hash_nres"]
+        j = out["join_out"]
+        # scalar fed to the fence depends on every join_out column: the
+        # materialization cannot be elided
+        chk = (
+            jnp.sum(j.recid, dtype=jnp.uint32)
+            + jnp.sum(j.num, dtype=jnp.uint32)
+            + jnp.sum(j.strw, dtype=jnp.uint32)
+        )
+        return chk, out["merge_nres"], out["hash_nres"], out["nunique_r"]
 
-    per_mat = run("pipeline_materialized", pipe_mat_loop, (r, s), "pipeline", ROWS)
-    # correctness cross-check (the reference driver's own oracle)
-    chk = jax.jit(lambda r, s: pipeline_single_impl(r, s, field=1))(r, s)
-    merge_nres, hash_nres = int(chk["merge_nres"]), int(chk["hash_nres"])
+    per_mat = run("pipeline_materialized", pipe_mat, (r, s), "pipeline", ROWS)
+    out = jax.jit(pipe_mat)(r, s)
+    merge_nres, hash_nres = int(out[1]), int(out[2])
 
-    # ---- counters-only variant ------------------------------------------
-    def pipe_cnt_loop(r, s):
-        def body(i, carry):
-            rr, acc = carry
-            out = pipeline_single_impl(rr, s, field=1)
-            acc = acc + out["merge_nres"].astype(jnp.uint32) + out[
-                "hash_nres"
-            ].astype(jnp.uint32)
-            rr = type(rr)(
-                recid=rr.recid + jnp.uint32(1), num=rr.num, strw=rr.strw, valid=rr.valid
-            )
-            return rr, acc
-        return jax.lax.fori_loop(0, K, body, (r, jnp.uint32(0)))[1]
+    # ---- counters-only variant (join materialization DCE'd on purpose) ---
+    def pipe_cnt(r, s):
+        out = pipeline_single_impl(r, s, field=1)
+        return out["merge_nres"], out["hash_nres"], out["nunique_r"]
 
-    run("pipeline_counters_only", pipe_cnt_loop, (r, s), "pipeline", ROWS)
+    run("pipeline_counters_only", pipe_cnt, (r, s), "pipeline", ROWS)
 
     # ---- per-op audits ----------------------------------------------------
-    def sort_loop(r):
-        def body(i, carry):
-            rr, acc = carry
-            out, _ = sort_batch_impl(rr, 1)
-            acc = acc + jnp.sum(out.num, dtype=jnp.uint32)
-            rr = type(rr)(
-                recid=rr.recid + jnp.uint32(1), num=rr.num, strw=rr.strw, valid=rr.valid
-            )
-            return rr, acc
-        return jax.lax.fori_loop(0, K, body, (r, jnp.uint32(0)))[1]
+    def sort_fn(r):
+        out, _ = sort_batch_impl(r, 1)
+        return jnp.sum(out.num, dtype=jnp.uint32), jnp.sum(out.strw, dtype=jnp.uint32)
 
-    run("sort", sort_loop, (r,), "sort", ROWS)
+    run("sort", sort_fn, (r,), "sort", ROWS)
 
-    def distinct_loop(r):
-        def body(i, carry):
-            rr, acc = carry
-            out, n = distinct_impl(rr, 1)
-            acc = acc + jnp.sum(out.num, dtype=jnp.uint32) + n.astype(jnp.uint32)
-            rr = type(rr)(
-                recid=rr.recid + jnp.uint32(1), num=rr.num, strw=rr.strw, valid=rr.valid
-            )
-            return rr, acc
-        return jax.lax.fori_loop(0, K, body, (r, jnp.uint32(0)))[1]
+    def distinct_fn(r):
+        out, n = distinct_impl(r, 1)
+        return jnp.sum(out.num, dtype=jnp.uint32) + n.astype(jnp.uint32)
 
-    run("distinct", distinct_loop, (r,), "distinct", ROWS)
+    run("distinct", distinct_fn, (r,), "distinct", ROWS)
 
-    def hj_loop(r, s):
-        def body(i, carry):
-            rr, acc = carry
-            matched, mult, nres = hash_join_count_impl(rr, s, 1)
-            acc = acc + nres.astype(jnp.uint32)
-            rr = type(rr)(
-                recid=rr.recid + jnp.uint32(1), num=rr.num, strw=rr.strw, valid=rr.valid
-            )
-            return rr, acc
-        return jax.lax.fori_loop(0, K, body, (r, jnp.uint32(0)))[1]
+    def hj_fn(r, s):
+        matched, mult, nres = hash_join_count_impl(r, s, 1)
+        return nres
 
-    run("hash_join_count", hj_loop, (r, s), "hash_join", ROWS)
+    run("hash_join_count", hj_fn, (r, s), "hash_join", ROWS)
 
     # ---- report -----------------------------------------------------------
     print(
-        f"# device={dev.platform} gen={gen_s:.2f}s base_loop={t_base*1e3:.1f}ms "
+        f"# device={dev.platform} gen={gen_s:.2f}s K={K} "
         f"merge_nres={merge_nres} hash_nres={hash_nres} "
         f"agree={merge_nres == hash_nres}",
         file=sys.stderr,
