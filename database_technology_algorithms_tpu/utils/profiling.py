@@ -13,7 +13,12 @@ import jax
 
 
 def timed(fn, *args, reps: int = 3, warmup: int = 1):
-    """(best_seconds, last_output) with block_until_ready around each rep."""
+    """(best_seconds, last_output) with block_until_ready around each rep.
+
+    WARNING: block_until_ready does NOT reliably fence execution on the
+    axon-tunneled TPU in this image (PERF_NOTES.md) — use fence()/
+    timed_steady() for trustworthy device timings there.
+    """
     out = None
     for _ in range(warmup):
         out = fn(*args)
@@ -25,6 +30,43 @@ def timed(fn, *args, reps: int = 3, warmup: int = 1):
         jax.block_until_ready(out)
         best = min(best, time.perf_counter() - t0)
     return best, out
+
+
+def fence(out) -> float:
+    """Force full execution: device->host readback of one output scalar
+    (cannot complete before the program does, unlike block_until_ready on
+    the axon tunnel)."""
+    import jax.numpy as jnp
+
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    return float(jnp.asarray(leaf).reshape(-1)[0])
+
+
+def timed_steady(fn, args, k: int = 6, reps: int = 2):
+    """(per_iter_seconds, compile_seconds) — K-dispatch steady state.
+
+    Queues k async dispatches and fences only the last output, then
+    subtracts a single-dispatch run: cancels the fixed per-call round trip
+    (~26 ms through the axon tunnel) without wrapping the program in
+    lax.fori_loop (loop-wrapped sort programs compile pathologically).
+    """
+    f = jax.jit(fn)
+    t0 = time.perf_counter()
+    fence(f(*args))
+    compile_s = time.perf_counter() - t0
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        fence(f(*args))
+        t1 = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(k):
+            out = f(*args)
+        fence(out)
+        tk = time.perf_counter() - t0
+        best = min(best, max((tk - t1) / (k - 1), 1e-9))
+    return best, compile_s
 
 
 @contextlib.contextmanager

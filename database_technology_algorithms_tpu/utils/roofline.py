@@ -85,6 +85,10 @@ def min_bytes(op: str, rows: int, payload_bytes: int = ROW_BYTES_FULL) -> int:
         return min_bytes("sort", rows, payload_bytes)
     if op in ("shuffle", "all_to_all"):
         return 4 * rows * payload_bytes  # pack + exchange + unpack
+    if op in ("pipeline",):
+        # rows = per-table rows; minimum = read both tables + write the
+        # join output (worst case one table's size)
+        return 3 * rows * payload_bytes
     return 2 * rows * payload_bytes
 
 

@@ -1,89 +1,106 @@
 #!/usr/bin/env python
-"""Per-operator on-chip timings: where does the pipeline's 0.34s go?
+"""Per-operator on-chip roofline report (the north star's >=80%-of-SoL audit).
 
-Times each primitive at 1M rows (reference benchmark scale) plus micro
-building blocks (raw key sort, full-record gather, compaction scatter) to
-locate the distance from HBM speed-of-light.  Uses the persistent compile
-cache so reruns skip the tunnel compile.
+Times every engine operator and the hot movement primitives at 1M rows with
+the steady-state fenced methodology (utils/profiling.timed_steady — naive
+block_until_ready timing lies through the axon tunnel, PERF_NOTES.md) and
+prints each as measured rows/s against the HBM-bandwidth speed-of-light
+model (utils/roofline).  Run with --cpu for a smoke pass.
 """
 
 import sys
 import time
 
+sys.path.insert(0, "/root/repo")
+
 import jax
 import jax.numpy as jnp
 
-jax.config.update("jax_compilation_cache_dir", "/root/repo/build/jax_cache_tpu")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-
-sys.path.insert(0, "/root/repo")
-
-from database_technology_algorithms_tpu.io.device_gen import generate_device_batch
-from database_technology_algorithms_tpu.ops.distinct import distinct
-from database_technology_algorithms_tpu.ops.hash_join import hash_join_count
-from database_technology_algorithms_tpu.ops.merge_join import join_sorted_distinct
-from database_technology_algorithms_tpu.ops.sort import sort_batch
-from database_technology_algorithms_tpu.ops.aggregate import group_aggregate
-from database_technology_algorithms_tpu.ops.filter import compact
-
-N = 1_000_000
-KEY_RANGE = 300_000
-
-
-def timeit(name, fn, *args, reps=3):
-    fn2 = jax.jit(fn) if not hasattr(fn, "lower") else fn
-    t0 = time.perf_counter()
-    out = fn2(*args)
-    jax.block_until_ready(out)
-    compile_s = time.perf_counter() - t0
-    best = 1e9
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        out = fn2(*args)
-        jax.block_until_ready(out)
-        best = min(best, time.perf_counter() - t0)
-    print(f"{name:40s} {best*1e3:9.2f} ms   (compile {compile_s:.1f}s)", flush=True)
-    return out
+from database_technology_algorithms_tpu.utils.cache import enable_persistent_cache
 
 
 def main():
-    print("device:", jax.devices()[0], flush=True)
+    if "--cpu" in sys.argv:
+        jax.config.update("jax_platforms", "cpu")
+    enable_persistent_cache(tag="cpu" if "--cpu" in sys.argv else "tpu")
+
+    from database_technology_algorithms_tpu.io.device_gen import generate_device_batch
+    from database_technology_algorithms_tpu.models.pipeline import pipeline_single_impl
+    from database_technology_algorithms_tpu.ops.aggregate import group_aggregate_impl
+    from database_technology_algorithms_tpu.ops.distinct import distinct_impl
+    from database_technology_algorithms_tpu.ops.filter import compact
+    from database_technology_algorithms_tpu.ops.hash_join import hash_join_count_impl
+    from database_technology_algorithms_tpu.ops.merge_join import merge_join_impl
+    from database_technology_algorithms_tpu.ops.movement import permute_rows
+    from database_technology_algorithms_tpu.ops.sort import sort_batch_impl
+    from database_technology_algorithms_tpu.utils.profiling import timed_steady
+    from database_technology_algorithms_tpu.utils.roofline import audit, report
+
+    n = 1_000_000 if "--cpu" not in sys.argv else 100_000
+    key_range = max(n // 3, 1)
     k1, k2 = jax.random.split(jax.random.PRNGKey(0))
-    r = generate_device_batch(k1, N, key_range=KEY_RANGE)
-    s = generate_device_batch(k2, N, key_range=KEY_RANGE)
-    jax.block_until_ready((r, s))
+    r = generate_device_batch(k1, n, key_range=key_range)
+    s = generate_device_batch(k2, n, key_range=key_range)
+    dest = jax.random.permutation(jax.random.PRNGKey(3), n).astype(jnp.uint32)
+    mask = jax.random.uniform(jax.random.PRNGKey(4), (n,)) < 0.3
+    jax.block_until_ready((r, s, dest, mask))
+    dev = jax.devices()[0]
+    print(f"device: {dev}  rows: {n}", flush=True)
 
-    # micro building blocks
-    timeit("lax.sort u32 keys only", lambda x: jax.lax.sort(x), r.num)
-    timeit(
-        "lax.sort (key, iota) pair",
-        lambda x: jax.lax.sort((x, jnp.arange(N, dtype=jnp.int32)), num_keys=2),
-        r.num,
+    results = []
+
+    def run(name, fn, args, op):
+        per, c = timed_steady(fn, args)
+        a = audit(op, n, per, device=dev)
+        a.op = name
+        results.append(a)
+        print(a.line() + f"  compile={c:.0f}s", flush=True)
+
+    run("filter+compact", lambda r: compact(r, mask)[0].num.sum(), (r,), "filter")
+    run(
+        "sort_batch",
+        lambda r: sort_batch_impl(r, 1)[0].num.sum(),
+        (r,),
+        "sort",
     )
-    perm = jnp.flip(jnp.arange(N, dtype=jnp.int32))
-    timeit("gather u32 col by perm", lambda p: jnp.take(r.num, p, axis=0), perm)
-    timeit("gather strs (128B) by perm", lambda p: jnp.take(r.strs, p, axis=0), perm)
-    timeit("full batch take(perm)", lambda p: r.take(p), perm)
-    mask = r.num < KEY_RANGE // 2
-    timeit("compact (mask scatter)", lambda m: compact(r, m), mask)
-    timeit("argsort u32 (jnp)", lambda x: jnp.argsort(x), r.num)
-
-    # operator level
-    timeit("sort_batch field1", lambda a: sort_batch(a, 1), r)
-    timeit("distinct field1", lambda a: distinct(a, 1), r)
-    rd, nr = distinct(r, 1)
-    sd, ns = distinct(s, 1)
-    jax.block_until_ready((rd, sd))
-    timeit(
-        "join_sorted_distinct",
-        lambda a, b, na, nb: join_sorted_distinct(a, na, b, nb, 1),
-        rd, sd, nr, ns,
+    run(
+        "distinct",
+        lambda r: distinct_impl(r, 1)[0].num.sum(),
+        (r,),
+        "distinct",
     )
-    timeit("hash_join_count raw", lambda a, b: hash_join_count(a, b, 1), r, s)
-    timeit("group_aggregate field1", lambda a: group_aggregate(a, 1), s)
-    # string sort at 1M for reference
-    timeit("sort_batch field2 (str)", lambda a: sort_batch(a, 2), r)
+    run(
+        "merge_join (2x distinct + intersect)",
+        lambda r, s: merge_join_impl(r, s, 1)[0].num.sum(),
+        (r, s),
+        "merge_join",
+    )
+    run(
+        "hash_join_count",
+        lambda r, s: hash_join_count_impl(r, s, 1)[2],
+        (r, s),
+        "hash_join",
+    )
+    run(
+        "group_aggregate",
+        lambda s: group_aggregate_impl(s, 1, materialize_reps=False)[2],
+        (s,),
+        "aggregate",
+    )
+    run(
+        "permute_rows (35-word placement)",
+        lambda r, d: permute_rows(r, d).num.sum(),
+        (r, dest),
+        "compact",
+    )
+    run(
+        "pipeline_single (materialized)",
+        lambda r, s: pipeline_single_impl(r, s, 1)["join_out"].num.sum(),
+        (r, s),
+        "pipeline",
+    )
+
+    print("\n" + report(results), flush=True)
 
 
-if __name__ == "__main__":
-    main()
+main()
