@@ -1,0 +1,124 @@
+#!/usr/bin/env python
+"""Weak-scaling efficiency harness for the distributed pipeline.
+
+SURVEY.md §7 M3/M4: measure scaling efficiency 1→N chips (north-star target
+>=0.75 at N>=2 hosts).  Real multi-chip hardware is not reachable from this
+image, so the harness runs the IDENTICAL jit(shard_map) pipeline step on
+forced-host-device CPU meshes — one fresh process per mesh size (device
+count is a pre-init config) — with fixed per-chip rows (weak scaling) and
+reports step time and efficiency vs the 1-device run.
+
+On a real pod, run the same script per host with --platform tpu (device
+count then comes from the hardware) — no code change.
+
+Usage: python tools/scaling_efficiency.py [--devices 1,2,4,8] [--per-chip 25600]
+"""
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def worker(n: int, per_chip: int, platform: str) -> None:
+    if platform == "cpu":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_num_cpu_devices", n)
+    import jax
+    import time
+
+    from database_technology_algorithms_tpu.config import EngineConfig
+    from database_technology_algorithms_tpu.io.generator import generate_columns
+    from database_technology_algorithms_tpu.models.pipeline import make_dist_pipeline
+    from database_technology_algorithms_tpu.parallel.dist_ops import distribute
+    from database_technology_algorithms_tpu.parallel.mesh import make_mesh
+    from database_technology_algorithms_tpu.utils.profiling import fence
+
+    devices = jax.devices()[:n]
+    assert len(devices) == n, (len(jax.devices()), n)
+    mesh = make_mesh(devices=devices)
+    cfg = EngineConfig(shuffle_slack=4.0)
+    step = make_dist_pipeline(mesh, 1, cfg)
+    rows = per_chip * n
+    cols1 = generate_columns(max(rows // 100, 1), seed=7)
+    cols2 = generate_columns(max(rows // 100, 1), seed=8)
+    t1 = distribute(mesh, cols1, rows_per_chip=per_chip)
+    t2 = distribute(mesh, cols2, rows_per_chip=per_chip)
+
+    def call():
+        return step(t1.batch, t1.count, t2.batch, t2.count)
+
+    out = call()
+    fence(out["merge_nres"])
+    assert int(out["overflow"]) == 0
+    assert int(out["merge_nres"]) == int(out["hash_nres"])
+    best = 1e9
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out = call()
+        fence(out["merge_nres"])
+        best = min(best, time.perf_counter() - t0)
+    print(
+        json.dumps(
+            {
+                "devices": n,
+                "per_chip_rows": per_chip,
+                "total_rows": rows,
+                "step_s": round(best, 4),
+                "merge_nres": int(out["merge_nres"]),
+            }
+        )
+    )
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--devices", default="1,2,4,8")
+    ap.add_argument("--per-chip", type=int, default=25_600)
+    ap.add_argument("--platform", default="cpu")
+    ap.add_argument("--worker", type=int, default=0, help="(internal)")
+    args = ap.parse_args()
+
+    if args.worker:
+        worker(args.worker, args.per_chip, args.platform)
+        return 0
+
+    sizes = [int(x) for x in args.devices.split(",")]
+    rows = []
+    for n in sizes:
+        env = dict(os.environ, PYTHONPATH=REPO, JAX_PLATFORMS=args.platform)
+        env.pop("XLA_FLAGS", None)
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--worker", str(n),
+             "--per-chip", str(args.per_chip), "--platform", args.platform],
+            env=env, capture_output=True, text=True, cwd=REPO,
+        )
+        if out.returncode != 0:
+            print(out.stdout + out.stderr, file=sys.stderr)
+            return 1
+        line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+        rows.append(json.loads(line))
+
+    base = rows[0]["step_s"] * rows[0]["devices"]
+    print(f"{'devices':>8} {'rows':>10} {'step ms':>10} {'weak-scaling eff':>18}")
+    for r in rows:
+        # weak scaling: perfect = constant step time as devices grow
+        eff = rows[0]["step_s"] / r["step_s"]
+        print(
+            f"{r['devices']:>8} {r['total_rows']:>10,} {r['step_s']*1e3:>10.1f} "
+            f"{eff:>18.2f}"
+        )
+    print(json.dumps({"metric": "weak_scaling_efficiency",
+                      "sizes": [r["devices"] for r in rows],
+                      "step_s": [r["step_s"] for r in rows],
+                      "efficiency": [round(rows[0]["step_s"]/r["step_s"], 3) for r in rows]}))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
