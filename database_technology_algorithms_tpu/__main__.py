@@ -77,6 +77,11 @@ def cmd_pipeline(args) -> int:
         f2 = os.path.join(args.workdir, "file2.bin")
         generate_pair_files(f1, f2, args.nblocks, seed=args.seed)
         r, s = read_blockfile(f1), read_blockfile(f2)
+    if getattr(args, "debug_checks", False):
+        from .utils.checks import assert_batch
+
+        assert_batch(r)
+        assert_batch(s)
     print(f"[gen] done in {time.time() - t0:.2f}s on {jax.devices()[0].platform}")
 
     if args.dist or getattr(args, "coordinator", None):
@@ -321,6 +326,8 @@ def main() -> int:
     pp.add_argument("--process-id", type=int, default=0)
     pp.add_argument("--local-devices", type=int, default=None,
                     help="per-process device count (CPU multi-process tests)")
+    pp.add_argument("--debug-checks", action="store_true",
+                    help="validate batch invariants at ingestion (utils/checks)")
     pp.set_defaults(fn=cmd_pipeline)
 
     ms = sub.add_parser("mergesort", help="external sort a block file", parents=[common])

@@ -58,6 +58,9 @@ class EngineConfig:
     # --- misc ---------------------------------------------------------------
     seed: int = 42
     interpret: bool = False  # run Pallas kernels in interpreter mode
+    # enable invariant guards (utils/checks.py): host-side batch validation
+    # at ingestion + checkify'd index bounds on data-dependent gathers
+    debug_checks: bool = False
 
 
 DEFAULT_CONFIG = EngineConfig()

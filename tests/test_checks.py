@@ -1,0 +1,55 @@
+"""Invariant-guard (sanitizer) tests — utils/checks.py."""
+
+import numpy as np
+import pytest
+
+import model as M
+
+import jax.numpy as jnp
+
+from database_technology_algorithms_tpu.batch import RecordBatch
+from database_technology_algorithms_tpu.utils.checks import (
+    assert_batch,
+    check_batch,
+    checked_take,
+)
+
+
+def test_healthy_batch_passes(rng):
+    b = M.to_batch(M.random_cols(rng, 64))
+    assert check_batch(b, count=10) == []
+    assert_batch(b, count=64)
+
+
+def test_bad_count_flagged(rng):
+    b = M.to_batch(M.random_cols(rng, 16))
+    assert any("live count" in p for p in check_batch(b, count=17))
+
+
+def test_nul_normalization_violation_flagged(rng):
+    b = M.to_batch(M.random_cols(rng, 8))
+    # corrupt: put a byte after a NUL in row 0 (bypass normalization)
+    strw = np.asarray(b.strw).copy()
+    strw[0, :] = 0
+    strw[0, 5] = 0x41  # byte 20ish, after NULs
+    bad = RecordBatch(recid=b.recid, num=b.num, strw=jnp.asarray(strw), valid=b.valid)
+    assert any("NUL" in p for p in check_batch(bad))
+    with pytest.raises(AssertionError):
+        assert_batch(bad)
+
+
+def test_checked_take_errors_on_oob(rng):
+    import jax
+    from jax.experimental import checkify
+
+    col = jnp.arange(10, dtype=jnp.uint32)
+
+    def f(idx):
+        return checked_take(col, idx, upper=9)
+
+    cf = checkify.checkify(jax.jit(f))
+    err, out = cf(jnp.array([0, 5, 9]))
+    err.throw()  # no error
+    err, out = cf(jnp.array([0, 5, 12]))
+    with pytest.raises(Exception):
+        err.throw()
