@@ -4,25 +4,27 @@
 Headline metric vs BASELINE.md: the reference MergeJoin pipeline (2x external
 sort + dedup + join) processes 1M rows/file in 6.42 s single-core => 155.7k
 rows/s.  This runs the same logical pipeline (plus the hash-join cross-check
-and a hash aggregate) as one XLA program on one TPU chip, data generated
-on-device (reference distribution: num uniform in [0, 30*nblocks)).
+and a hash aggregate) on one TPU chip, data generated on-device (reference
+distribution: num uniform in [0, 30*nblocks)).
 
 Measurement notes (tools/bench_calibrate*.py, PERF_NOTES.md):
   * block_until_ready does not reliably fence execution through the axon
     tunnel, and every synced call carries a fixed ~26 ms round trip — each
     timing therefore ends with a device->host scalar readback (which does
     fence) and reports the K-dispatch steady state:
-    (time of K queued dispatches + fence  -  time of 1 dispatch + fence)
-    / (K - 1), which cancels the round trip without wrapping the program
-    in lax.fori_loop (loop-wrapped sort programs compile pathologically);
-  * the headline program RETURNS the materialized join output, whose sum
-    feeds the fenced scalar, so the record materialization cannot be
-    dead-code eliminated (round-1 weakness: counters-only bench);
-  * a counters-only variant is reported alongside for comparison.
+    (K queued dispatch rounds + fence  -  1 round + fence) / (K - 1);
+  * the pipeline runs as STAGED small programs (models/pipeline.py
+    make_pipeline_staged): one monolithic program holding all ~8 sorts has
+    twice hung or crashed the remote compile service; the staged form
+    compiles each piece separately and the five placement sorts share one
+    executable;
+  * the headline variant's fenced scalar depends on every materialized
+    join_out column, so the record materialization cannot be DCE'd
+    (round-1 weakness: counters-only bench); a counters-only variant is
+    reported alongside.
 
 Prints per-op roofline lines (fraction of HBM speed-of-light, the north
-star's >=80% target) on stderr and ONE JSON line on stdout:
-  {"metric": ..., "value": rows/s, "unit": "rows/s", "vs_baseline": x, ...}
+star's >=80% target) on stderr and ONE JSON line on stdout.
 """
 
 import json
@@ -34,35 +36,34 @@ import jax.numpy as jnp
 
 ROWS = 1_000_000
 KEY_RANGE = 300_000
-K = 6  # queued dispatches per steady-state timing
+K = 6  # queued dispatch rounds per steady-state timing
 BASELINE_ROWS_PER_S = 155_700.0  # BASELINE.md MergeJoin pipeline, 1 x86 core
 
 
 def fence(out) -> float:
-    """Force full execution: device->host readback of one scalar."""
     leaf = jax.tree_util.tree_leaves(out)[0]
     return float(jnp.asarray(leaf).reshape(-1)[0])
 
 
-def timed_steady(fn, args, reps=2):
-    """(per_iter_s, compile_s): K-dispatch steady state minus 1-dispatch."""
-    f = jax.jit(fn)
+def timed_calls(call, args, reps=2):
+    """(per_round_s, warmup_s) for a python callable that dispatches jitted
+    programs (possibly several) and returns device output."""
     t0 = time.perf_counter()
-    fence(f(*args))
-    compile_s = time.perf_counter() - t0
+    fence(call(*args))
+    warm_s = time.perf_counter() - t0
     best = 1e9
     for _ in range(reps):
         t0 = time.perf_counter()
-        fence(f(*args))
+        fence(call(*args))
         t1 = time.perf_counter() - t0
         t0 = time.perf_counter()
         out = None
         for _ in range(K):
-            out = f(*args)
+            out = call(*args)
         fence(out)
         tk = time.perf_counter() - t0
         best = min(best, max((tk - t1) / (K - 1), 1e-9))
-    return best, compile_s
+    return best, warm_s
 
 
 def main() -> int:
@@ -72,10 +73,13 @@ def main() -> int:
 
     enable_persistent_cache(tag="cpu" if "--cpu" in sys.argv else "tpu")
     from database_technology_algorithms_tpu.io.device_gen import generate_device_batch
-    from database_technology_algorithms_tpu.models.pipeline import pipeline_single_impl
+    from database_technology_algorithms_tpu.models.pipeline import (
+        make_pipeline_staged,
+    )
     from database_technology_algorithms_tpu.ops.distinct import distinct_impl
     from database_technology_algorithms_tpu.ops.hash_join import hash_join_count_impl
-    from database_technology_algorithms_tpu.ops.sort import sort_batch_impl
+    from database_technology_algorithms_tpu.ops.movement import PLACE_GROUP
+    from database_technology_algorithms_tpu.ops.sort import sort_keys, survivor_dest
     from database_technology_algorithms_tpu.utils.roofline import audit
 
     dev = jax.devices()[0]
@@ -86,55 +90,109 @@ def main() -> int:
     jax.block_until_ready((r, s))
     gen_s = time.perf_counter() - t0
 
-    results = []  # (name, per_iter_s, compile_s, audit_op, rows)
+    results = []
+    merge_nres = hash_nres = -1
 
-    def run(name, fn, args, audit_op, rows):
-        per, c = timed_steady(fn, args)
+    def run(name, call, args, audit_op, rows):
+        try:
+            per, c = timed_calls(call, args)
+        except Exception as e:  # remote compile service flakes: keep going
+            print(f"# {name} FAILED: {type(e).__name__}: {e}", file=sys.stderr)
+            results.append((name, None, 0.0, audit_op, rows))
+            return None
         results.append((name, per, c, audit_op, rows))
         return per
 
-    # ---- headline: full pipeline, join output MATERIALIZED + consumed ----
+    staged = make_pipeline_staged(1)
+
     def pipe_mat(r, s):
-        out = pipeline_single_impl(r, s, field=1)
+        out = staged(r, s)
         j = out["join_out"]
-        # scalar fed to the fence depends on every join_out column: the
-        # materialization cannot be elided
         chk = (
             jnp.sum(j.recid, dtype=jnp.uint32)
             + jnp.sum(j.num, dtype=jnp.uint32)
             + jnp.sum(j.strw, dtype=jnp.uint32)
         )
-        return chk, out["merge_nres"], out["hash_nres"], out["nunique_r"]
+        return chk, out["merge_nres"], out["hash_nres"]
 
     per_mat = run("pipeline_materialized", pipe_mat, (r, s), "pipeline", ROWS)
-    out = jax.jit(pipe_mat)(r, s)
-    merge_nres, hash_nres = int(out[1]), int(out[2])
+    if per_mat is not None:
+        out = pipe_mat(r, s)
+        merge_nres, hash_nres = int(out[1]), int(out[2])
 
-    # ---- counters-only variant (join materialization DCE'd on purpose) ---
-    def pipe_cnt(r, s):
+    # counters-only: the monolith program returning only the counters — XLA
+    # DCEs the materialization sorts, leaving the one fused view sort
+    from database_technology_algorithms_tpu.models.pipeline import (
+        pipeline_single_impl,
+    )
+
+    def _counters_program(r, s):
         out = pipeline_single_impl(r, s, field=1)
         return out["merge_nres"], out["hash_nres"], out["nunique_r"]
 
-    run("pipeline_counters_only", pipe_cnt, (r, s), "pipeline", ROWS)
+    run(
+        "pipeline_counters_only",
+        jax.jit(_counters_program),
+        (r, s),
+        "pipeline",
+        ROWS,
+    )
 
-    # ---- per-op audits ----------------------------------------------------
-    def sort_fn(r):
-        out, _ = sort_batch_impl(r, 1)
-        return jnp.sum(out.num, dtype=jnp.uint32), jnp.sum(out.strw, dtype=jnp.uint32)
+    # ---- per-op audits (staged dispatch where placements are involved) ---
+    jit_place = jax.jit(
+        lambda dest, cnt, *ws: tuple(
+            jnp.where(
+                jnp.arange(dest.shape[0], dtype=jnp.int32) < cnt, w, 0
+            )
+            for w in jax.lax.sort((dest,) + ws, num_keys=1)[1:]
+        )
+    )
 
-    run("sort", sort_fn, (r,), "sort", ROWS)
+    def _materialize(batch, dest, cnt):
+        words = batch.payload_words()
+        outs = []
+        for base in range(0, len(words), PLACE_GROUP):
+            outs.extend(jit_place(dest, cnt, *words[base : base + PLACE_GROUP]))
+        return outs
 
-    def distinct_fn(r):
-        out, n = distinct_impl(r, 1)
-        return jnp.sum(out.num, dtype=jnp.uint32) + n.astype(jnp.uint32)
+    def _sort_stage(r):
+        view = sort_keys(r, 1)
+        from database_technology_algorithms_tpu.ops.movement import sort_words
 
-    run("distinct", distinct_fn, (r,), "distinct", ROWS)
+        _, (dest,) = sort_words(
+            [view.perm.astype(jnp.uint32)],
+            (jnp.arange(r.nrows, dtype=jnp.int32),),
+            stable_iota=False,
+        )
+        return dest.astype(jnp.uint32)
 
-    def hj_fn(r, s):
-        matched, mult, nres = hash_join_count_impl(r, s, 1)
-        return nres
+    jit_sortdest = jax.jit(_sort_stage)
 
-    run("hash_join_count", hj_fn, (r, s), "hash_join", ROWS)
+    def sort_call(r):
+        dest = jit_sortdest(r)
+        outs = _materialize(r, dest, jnp.int32(ROWS))
+        return outs[1]  # num column of the sorted batch
+
+    run("sort", sort_call, (r,), "sort", ROWS)
+
+    def _distinct_stage(r):
+        from database_technology_algorithms_tpu.ops.distinct import distinct_view
+
+        view, keep = distinct_view(r, 1)
+        dest, cnt = survivor_dest(view.perm, keep)
+        return dest.astype(jnp.uint32), cnt
+
+    jit_distdest = jax.jit(_distinct_stage)
+
+    def distinct_call(r):
+        dest, cnt = jit_distdest(r)
+        outs = _materialize(r, dest, cnt)
+        return outs[1]
+
+    run("distinct", distinct_call, (r,), "distinct", ROWS)
+
+    jit_hj = jax.jit(lambda r, s: hash_join_count_impl(r, s, 1)[2])
+    run("hash_join_count", jit_hj, (r, s), "hash_join", ROWS)
 
     # ---- report -----------------------------------------------------------
     print(
@@ -144,22 +202,33 @@ def main() -> int:
         file=sys.stderr,
     )
     detail = {}
+    headline = None
     for name, per, c, op, rows in results:
+        if per is None:
+            detail[name] = {"error": "compile_failed"}
+            continue
         a = audit(op, rows, per, device=dev)
         detail[name] = {
             "ms": round(per * 1e3, 3),
-            "compile_s": round(c, 1),
+            "warmup_s": round(c, 1),
             "fraction_of_sol": round(a.fraction_of_sol, 4),
             "rows_per_s": round(rows / per, 1),
         }
+        if headline is None:
+            headline = per
         print(
             f"# roofline {name:24s} {per*1e3:9.2f} ms  "
             f"{100*a.fraction_of_sol:5.1f}% of {a.sol_gbps:.0f} GB/s SoL  "
-            f"({rows/per/1e6:.2f} M rows/s)  compile={c:.0f}s",
+            f"({rows/per/1e6:.2f} M rows/s)  warmup={c:.0f}s",
             file=sys.stderr,
         )
 
-    rows_per_s = ROWS / results[0][1]  # headline = MATERIALIZED pipeline
+    if headline is None:
+        print(json.dumps({"metric": "mergejoin_pipeline_rows_per_s_1chip",
+                          "value": 0, "unit": "rows/s", "vs_baseline": 0,
+                          "error": "all timings failed"}))
+        return 1
+    rows_per_s = ROWS / headline
     print(
         json.dumps(
             {

@@ -174,6 +174,115 @@ def pipeline_single_impl(
 pipeline_single = per_static_jit(pipeline_single_impl)
 
 
+# ---------------------------------------------------------------------------
+# staged execution: identical semantics, split into small XLA programs
+# ---------------------------------------------------------------------------
+
+
+def make_pipeline_staged(field: int = 1, cfg: EngineConfig = DEFAULT_CONFIG):
+    """Build a staged runner: same results as ``pipeline_single`` but issued
+    as several SMALL jitted programs instead of one monolith.
+
+    Why: each distinct ``lax.sort`` shape costs 15-130 s at the remote
+    compile service, and a single program holding all ~8 of the pipeline's
+    sorts has been observed to hang/kill the service outright (round-1:
+    1464 s; round-2: 1 h then EOF).  The stages here compile independently
+    (and cache independently); the five placement sorts share ONE
+    executable called five times.  Dispatches queue asynchronously, so the
+    steady-state cost equals the monolith's.
+    """
+    from ..ops.movement import PLACE_GROUP, use_sort_placement
+    from ..ops.scan import seg_carry, seg_max, seg_min
+
+    def stage_a(r: RecordBatch, s: RecordBatch) -> dict:
+        nr, ns = r.nrows, s.nrows
+        n = nr + ns
+        both = RecordBatch.concat([r, s])
+        idx = jnp.arange(n, dtype=jnp.int32)
+        side = (idx >= nr).astype(jnp.uint32)
+        active = both.valid
+        view = sort_keys(
+            both, field, cfg,
+            pre_words=((~active).astype(jnp.uint32),),
+            post_words=(side,),
+            extra=(side, active.astype(jnp.uint32), both.num),
+        )
+        v_side, v_act, v_num = view.extras
+        adj = view.adj_eq
+        act = v_act == 1
+        is_r = act & (v_side == 0)
+        is_s = act & (v_side == 1)
+        prev_side = jnp.concatenate([jnp.zeros(1, jnp.uint32), v_side[:-1]])
+        r_first = is_r & ~adj
+        s_first = is_s & ~(adj & (prev_side == 1))
+        is_start = ~adj
+        run_has_r = seg_carry(is_start, r_first.astype(jnp.uint32)) == 1
+        end_flags = jnp.concatenate([is_start[1:], jnp.ones(1, bool)])
+        any_s_suffix = jnp.flip(
+            seg_max(jnp.flip(end_flags), jnp.flip(is_s.astype(jnp.uint32)))
+        ) == 1
+        matched = r_first & any_s_suffix
+        return {
+            "nunique_r": jnp.sum(r_first, dtype=jnp.int32),
+            "nunique_s": jnp.sum(s_first, dtype=jnp.int32),
+            "merge_nres": jnp.sum(matched, dtype=jnp.int32),
+            "hash_nres": jnp.sum((s_first & run_has_r).astype(jnp.int32)),
+            "perm": view.perm,
+            "matched": matched,
+        }
+
+    def stage_dest(perm, matched, nr: int):
+        from ..ops.sort import survivor_dest
+
+        dest, cnt = survivor_dest(perm, matched)
+        return dest[:nr], cnt
+
+    def stage_place_group(dest, cnt, *words):
+        # placement + live-count zeroing in one (shared) executable
+        out = jax.lax.sort((dest,) + words, num_keys=1)
+        live = jnp.arange(dest.shape[0], dtype=jnp.int32) < cnt
+        return tuple(jnp.where(live, w, 0) for w in out[1:])
+
+    jit_a = jax.jit(stage_a)
+    jit_dest = jax.jit(stage_dest, static_argnums=(2,))
+    jit_place = jax.jit(stage_place_group)
+
+    def run(r: RecordBatch, s: RecordBatch) -> dict:
+        nr = r.nrows
+        out = jit_a(r, s)
+        if use_sort_placement(cfg):
+            dest, cnt = jit_dest(out["perm"], out["matched"], nr)
+            words = r.payload_words()
+            placed: list = []
+            destu = dest.astype(jnp.uint32)
+            for base in range(0, len(words), PLACE_GROUP):
+                placed.extend(
+                    jit_place(destu, cnt, *words[base : base + PLACE_GROUP])
+                )
+            mj_out = RecordBatch.from_payload_words(list(placed))
+        else:
+            cnt, (orig_front,) = compact_words(
+                out["matched"], (out["perm"],)
+            )
+            gather_idx = jnp.where(
+                jnp.arange(nr, dtype=jnp.int32) < cnt,
+                orig_front[:nr],
+                jnp.int32(nr + s.nrows),
+            )
+            mj_out = RecordBatch.concat([r, s]).take_fill(gather_idx)
+        return {
+            "nunique_r": out["nunique_r"],
+            "nunique_s": out["nunique_s"],
+            "merge_nres": out["merge_nres"],
+            "hash_nres": out["hash_nres"],
+            "agg_groups": out["nunique_s"],
+            "join_out": mj_out,
+            "join_count": out["merge_nres"],
+        }
+
+    return run
+
+
 def make_dist_pipeline(mesh: Mesh, field: int = 1, cfg: EngineConfig = DEFAULT_CONFIG):
     """Build the jitted multi-chip pipeline step for `mesh`.
 
