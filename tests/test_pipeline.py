@@ -93,3 +93,37 @@ def test_pipeline_distributed_matches_single(rng, field):
     single = pipeline_single(M.to_batch(c1), M.to_batch(c2), field, CFG)
     for k in ("nunique_r", "nunique_s", "merge_nres", "hash_nres", "agg_groups"):
         assert int(out[k]) == int(single[k]), k
+
+
+@pytest.mark.parametrize("mat", ["sort", "gather"])
+def test_pipeline_staged_matches_monolith(rng, mat):
+    """make_pipeline_staged (small separately-jitted programs, shared
+    placement executable) must be bit-identical to pipeline_single."""
+    from database_technology_algorithms_tpu.models.pipeline import (
+        make_pipeline_staged,
+    )
+
+    cfg = EngineConfig(materialize=mat)
+    r = M.to_batch(M.random_cols(rng, 410, key_range=70))
+    s = M.to_batch(M.random_cols(rng, 330, key_range=70))
+    a = pipeline_single(r, s, 1, cfg)
+    b = make_pipeline_staged(1, cfg)(r, s)
+    for k in ("nunique_r", "nunique_s", "merge_nres", "hash_nres",
+              "agg_groups", "join_count"):
+        assert int(a[k]) == int(b[k]), k
+    an, bn = a["join_out"].to_numpy(), b["join_out"].to_numpy()
+    for k in ("recid", "num", "strs", "valid"):
+        np.testing.assert_array_equal(an[k], bn[k])
+
+
+def test_pipeline_distributed_field3(rng):
+    mesh = make_mesh()
+    c1 = M.random_cols(rng, 500, key_range=40)
+    c2 = M.random_cols(rng, 400, key_range=40)
+    t1, t2 = distribute(mesh, c1), distribute(mesh, c2)
+    step = make_dist_pipeline(mesh, 3, CFG)
+    out = step(t1.batch, t1.count, t2.batch, t2.count)
+    assert int(out["overflow"]) == 0
+    single = pipeline_single(M.to_batch(c1), M.to_batch(c2), 3, CFG)
+    for k in ("nunique_r", "nunique_s", "merge_nres", "agg_groups"):
+        assert int(out[k]) == int(single[k]), k
