@@ -66,11 +66,19 @@ def get_lib():
             ctypes.c_uint32, ctypes.c_uint32,
         ]
         lib.dbt_generate_pair.restype = ctypes.c_long
+        try:
+            lib.dbt_read_blockfile_mt.argtypes = [
+                ctypes.c_char_p, u32p, u32p, u8p, u8p, ctypes.c_long,
+                ctypes.c_int,
+            ]
+            lib.dbt_read_blockfile_mt.restype = ctypes.c_long
+        except AttributeError:
+            pass  # older .so without the threaded reader
         _LIB = lib
         return _LIB
 
 
-def read_blockfile_native(path: str) -> dict | None:
+def read_blockfile_native(path: str, nthreads: int | None = None) -> dict | None:
     lib = get_lib()
     if lib is None:
         return None
@@ -81,7 +89,17 @@ def read_blockfile_native(path: str) -> dict | None:
     num = np.empty(n, np.uint32)
     strs = np.empty((n, STR_PAD), np.uint8)
     valid = np.empty(n, np.uint8)
-    got = lib.dbt_read_blockfile(path.encode(), recid, num, strs, valid, n)
+    if hasattr(lib, "dbt_read_blockfile_mt"):
+        # multithreaded mmap transpose (block ranges -> disjoint output
+        # ranges, no synchronization); threads default to min(cpu, 8)
+        import os
+
+        t = nthreads or min(os.cpu_count() or 1, 8)
+        got = lib.dbt_read_blockfile_mt(
+            path.encode(), recid, num, strs, valid, n, int(t)
+        )
+    else:
+        got = lib.dbt_read_blockfile(path.encode(), recid, num, strs, valid, n)
     if got != n:
         return None
     return {"recid": recid, "num": num, "strs": strs, "valid": valid.astype(bool)}
