@@ -78,7 +78,6 @@ def main() -> int:
     )
     from database_technology_algorithms_tpu.ops.distinct import distinct_impl
     from database_technology_algorithms_tpu.ops.hash_join import hash_join_count_impl
-    from database_technology_algorithms_tpu.ops.movement import PLACE_GROUP
     from database_technology_algorithms_tpu.ops.sort import sort_keys, survivor_dest
     from database_technology_algorithms_tpu.utils.roofline import audit
 
@@ -138,22 +137,10 @@ def main() -> int:
         ROWS,
     )
 
-    # ---- per-op audits (staged dispatch where placements are involved) ---
-    jit_place = jax.jit(
-        lambda dest, cnt, *ws: tuple(
-            jnp.where(
-                jnp.arange(dest.shape[0], dtype=jnp.int32) < cnt, w, 0
-            )
-            for w in jax.lax.sort((dest,) + ws, num_keys=1)[1:]
-        )
-    )
+    # ---- per-op audits: (dest program) + the SHARED place35 executable ---
+    from database_technology_algorithms_tpu.ops.movement import place35
 
-    def _materialize(batch, dest, cnt):
-        words = batch.payload_words()
-        outs = []
-        for base in range(0, len(words), PLACE_GROUP):
-            outs.extend(jit_place(dest, cnt, *words[base : base + PLACE_GROUP]))
-        return outs
+    jit_place35 = jax.jit(place35)
 
     def _sort_stage(r):
         view = sort_keys(r, 1)
@@ -170,8 +157,7 @@ def main() -> int:
 
     def sort_call(r):
         dest = jit_sortdest(r)
-        outs = _materialize(r, dest, jnp.int32(ROWS))
-        return outs[1]  # num column of the sorted batch
+        return jit_place35(dest, jnp.int32(ROWS), *r.payload_words())[1]
 
     run("sort", sort_call, (r,), "sort", ROWS)
 
@@ -186,8 +172,7 @@ def main() -> int:
 
     def distinct_call(r):
         dest, cnt = jit_distdest(r)
-        outs = _materialize(r, dest, cnt)
-        return outs[1]
+        return jit_place35(dest, cnt, *r.payload_words())[1]
 
     run("distinct", distinct_call, (r,), "distinct", ROWS)
 

@@ -43,6 +43,7 @@ def cmd_pipeline(args) -> int:
             args.process_id,
             local_devices=args.local_devices,
             platform=args.platform,
+            initialization_timeout=getattr(args, "init_timeout", 300),
         )
         import jax
 
@@ -326,6 +327,8 @@ def main() -> int:
     pp.add_argument("--process-id", type=int, default=0)
     pp.add_argument("--local-devices", type=int, default=None,
                     help="per-process device count (CPU multi-process tests)")
+    pp.add_argument("--init-timeout", type=int, default=300, dest="init_timeout",
+                    help="multi-process rendezvous timeout (failure detection)")
     pp.add_argument("--debug-checks", action="store_true",
                     help="validate batch invariants at ingestion (utils/checks)")
     pp.set_defaults(fn=cmd_pipeline)

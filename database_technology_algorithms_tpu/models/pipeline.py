@@ -186,13 +186,17 @@ def make_pipeline_staged(field: int = 1, cfg: EngineConfig = DEFAULT_CONFIG):
     Why: each distinct ``lax.sort`` shape costs 15-130 s at the remote
     compile service, and a single program holding all ~8 of the pipeline's
     sorts has been observed to hang/kill the service outright (round-1:
-    1464 s; round-2: 1 h then EOF).  The stages here compile independently
-    (and cache independently); the five placement sorts share ONE
-    executable called five times.  Dispatches queue asynchronously, so the
-    steady-state cost equals the monolith's.
+    1464 s; round-2: 1 h then EOF).  Each host dispatch through the tunnel
+    also costs ~12 ms, so the split is exactly TWO programs per run:
+
+      A: fused view sort + scans + destination computation (2 sorts @2(N))
+      B: the 35-word materializer — five identical-signature 8-operand
+         placement sorts in ONE executable (identical unrolled sorts
+         compile cheaply: ~25 s measured vs ~80 s for one alone)
     """
-    from ..ops.movement import PLACE_GROUP, use_sort_placement
+    from ..ops.movement import place35, use_sort_placement
     from ..ops.scan import seg_carry, seg_max, seg_min
+    from ..ops.sort import survivor_dest
 
     def stage_a(r: RecordBatch, s: RecordBatch) -> dict:
         nr, ns = r.nrows, s.nrows
@@ -222,44 +226,28 @@ def make_pipeline_staged(field: int = 1, cfg: EngineConfig = DEFAULT_CONFIG):
             seg_max(jnp.flip(end_flags), jnp.flip(is_s.astype(jnp.uint32)))
         ) == 1
         matched = r_first & any_s_suffix
+        dest, cnt = survivor_dest(view.perm, matched)
         return {
             "nunique_r": jnp.sum(r_first, dtype=jnp.int32),
             "nunique_s": jnp.sum(s_first, dtype=jnp.int32),
             "merge_nres": jnp.sum(matched, dtype=jnp.int32),
             "hash_nres": jnp.sum((s_first & run_has_r).astype(jnp.int32)),
+            "dest": dest[:nr].astype(jnp.uint32),
+            "cnt": cnt,
             "perm": view.perm,
             "matched": matched,
         }
 
-    def stage_dest(perm, matched, nr: int):
-        from ..ops.sort import survivor_dest
-
-        dest, cnt = survivor_dest(perm, matched)
-        return dest[:nr], cnt
-
-    def stage_place_group(dest, cnt, *words):
-        # placement + live-count zeroing in one (shared) executable
-        out = jax.lax.sort((dest,) + words, num_keys=1)
-        live = jnp.arange(dest.shape[0], dtype=jnp.int32) < cnt
-        return tuple(jnp.where(live, w, 0) for w in out[1:])
-
     jit_a = jax.jit(stage_a)
-    jit_dest = jax.jit(stage_dest, static_argnums=(2,))
-    jit_place = jax.jit(stage_place_group)
+    jit_place = jax.jit(place35)
 
     def run(r: RecordBatch, s: RecordBatch) -> dict:
         nr = r.nrows
         out = jit_a(r, s)
         if use_sort_placement(cfg):
-            dest, cnt = jit_dest(out["perm"], out["matched"], nr)
-            words = r.payload_words()
-            placed: list = []
-            destu = dest.astype(jnp.uint32)
-            for base in range(0, len(words), PLACE_GROUP):
-                placed.extend(
-                    jit_place(destu, cnt, *words[base : base + PLACE_GROUP])
-                )
-            mj_out = RecordBatch.from_payload_words(list(placed))
+            mj_out = RecordBatch.from_payload_words(
+                list(jit_place(out["dest"], out["cnt"], *r.payload_words()))
+            )
         else:
             cnt, (orig_front,) = compact_words(
                 out["matched"], (out["perm"],)

@@ -60,6 +60,26 @@ def place_words(
     return outs
 
 
+def place35(dest: jax.Array, cnt: jax.Array, *words: jax.Array):
+    """The 35-word record materializer as ONE jittable program.
+
+    Five identical-signature 8-operand placement sorts (identical unrolled
+    sorts compile cheaply — ~25 s for all five vs ~80 s for one alone at
+    the remote compile service) + live-count zeroing.  Shared by the staged
+    pipeline and the per-op materializers so every caller reuses one
+    executable (each extra host dispatch through the tunnel costs ~12 ms).
+    """
+    n = dest.shape[0]
+    live = jnp.arange(n, dtype=jnp.int32) < cnt
+    outs: list[jax.Array] = []
+    for base in range(0, len(words), PLACE_GROUP):
+        res = jax.lax.sort(
+            (dest,) + tuple(words[base : base + PLACE_GROUP]), num_keys=1
+        )
+        outs.extend(jnp.where(live, w, 0) for w in res[1:])
+    return tuple(outs)
+
+
 def permute_rows(
     batch: RecordBatch, dest: jax.Array, count: jax.Array | None = None
 ) -> RecordBatch:

@@ -28,12 +28,19 @@ def initialize(
     process_id: int,
     local_devices: int | None = None,
     platform: str | None = None,
+    initialization_timeout: int = 300,
+    heartbeat_timeout: int = 100,
 ) -> None:
     """Join the distributed runtime. Must run before any other jax use.
 
     platform="cpu" also selects gloo CPU collectives (the multi-process CPU
     backend used by tests); local_devices forces the per-process device
-    count (CPU only).
+    count (CPU only).  Failure detection (SURVEY.md §5): a host that never
+    joins fails rendezvous after `initialization_timeout` seconds; a host
+    that dies mid-run is detected by the coordination service's heartbeat
+    after `heartbeat_timeout` seconds — both surface as raised errors, and
+    recovery is re-running the failed stage (batch engine; stage outputs
+    are materialized partitions, external.py manifests resume).
     """
     import jax
 
@@ -47,6 +54,8 @@ def initialize(
         coordinator_address=coordinator,
         num_processes=num_processes,
         process_id=process_id,
+        initialization_timeout=initialization_timeout,
+        heartbeat_timeout_seconds=heartbeat_timeout,
     )
 
 

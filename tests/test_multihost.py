@@ -86,3 +86,18 @@ def test_two_process_pipeline_matches_single(field):
     assert outs[0]["hash_join_pairs"] == int(ref["hash_nres"])
     assert outs[0]["nunique_r"] == int(ref["nunique_r"])
     assert outs[0]["nunique_s"] == int(ref["nunique_s"])
+
+
+def test_missing_host_detected_at_rendezvous():
+    """Failure detection (SURVEY.md §5): a 2-process run where host 1 never
+    joins must FAIL host 0's rendezvous within the timeout — a clean raised
+    error, not a hang (the reference has no failure policy at all)."""
+    import time
+
+    port = _free_port()
+    t0 = time.time()
+    p0 = _launch(port, 2, 0, 5, 1, extra=("--init-timeout", "12"))
+    stdout, stderr = p0.communicate(timeout=120)
+    assert p0.returncode != 0
+    assert time.time() - t0 < 110
+    assert "imeout" in (stdout + stderr) or "DEADLINE" in (stdout + stderr).upper()
