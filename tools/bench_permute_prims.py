@@ -53,28 +53,34 @@ def report(name, per_s, note=""):
 
 def p1():
     key = jax.random.permutation(jax.random.PRNGKey(0), N).astype(jnp.uint32)
-    for g in (4, 8):
+    # (key-replica width, #payload operands): cost per 2D sort vs how many
+    # payload words it moves (g*npay); place35 moves 35 words in ~17 ms
+    for g, npay in ((4, 1), (8, 1), (8, 2), (16, 1), (16, 2), (32, 1)):
         k2 = jnp.broadcast_to(key[:, None], (N, g))
-        pay = jax.random.randint(
-            jax.random.PRNGKey(1), (N, g), 0, 1 << 30, dtype=jnp.uint32
+        pays = tuple(
+            jax.random.randint(
+                jax.random.PRNGKey(1 + i), (N, g), 0, 1 << 30, dtype=jnp.uint32
+            )
+            for i in range(npay)
         )
 
-        def f(k2, pay):
-            out = jax.lax.sort((k2, pay), num_keys=1, dimension=0)
-            return out[1]
+        def f(k2, *pays):
+            out = jax.lax.sort((k2,) + pays, num_keys=1, dimension=0)
+            return out[1:]
 
         if CPU:
-            out = jax.jit(f)(k2, pay)
-            flat = jax.lax.sort((key, pay[:, 0]), num_keys=1)[1]
-            ok = bool(jnp.all(out[:, 0] == flat))
-            print(f"P1 g={g} interpret ok={ok}", flush=True)
+            out = jax.jit(f)(k2, *pays)
+            flat = jax.lax.sort((key, pays[0][:, 0]), num_keys=1)[1]
+            ok = bool(jnp.all(out[0][:, 0] == flat))
+            print(f"P1 g={g} npay={npay} interpret ok={ok}", flush=True)
             continue
-        per, c = timed_steady(f, (k2, pay))
-        eq35 = per * np.ceil(35 / g)  # cost to move 35 words this way
+        per, c = timed_steady(f, (k2,) + pays)
+        moved = g * npay
+        eq35 = per * np.ceil(35 / moved)
         report(
-            f"P1 sort2d key+pay [N,{g}]",
+            f"P1 sort2d [N,{g}]x{npay}pay",
             per,
-            f"-> 35 words = {eq35*1e3:.2f} ms (place35 baseline ~17ms) compile={c:.0f}s",
+            f"-> 35 words = {eq35*1e3:.2f} ms (place35 ~17ms) compile={c:.0f}s",
         )
 
 
