@@ -60,6 +60,39 @@ def place_words(
     return outs
 
 
+def place_words_2d(
+    dest: jax.Array, cnt: jax.Array | None, words: list[jax.Array], npay: int = 1
+) -> tuple[jax.Array, ...]:
+    """out[dest[i]] = words[:][i] via ONE replicated-key 2-D lax.sort.
+
+    The W payload words ride as an [N, W] matrix operand (split into `npay`
+    matrices) keyed by dest broadcast to the same shape: every column sorts
+    independently along axis 0 by an identical key column, so rows move
+    coherently.  Requires UNIQUE dest values (a non-stable sort may resolve
+    ties differently per column).  If XLA's 1-D variadic sort is
+    lane-starved, this moves the whole record near the cost of a 2-operand
+    sort; measured on the target chip by tools/bench_permute_prims.py (P1).
+
+    With `cnt`, rows placed at positions >= cnt are zeroed (the static-
+    capacity live-count convention, same as place35).
+    """
+    n = dest.shape[0]
+    w = len(words)
+    destu = dest.astype(jnp.uint32)
+    group = -(-w // npay)  # ceil
+    outs: list[jax.Array] = []
+    for base in range(0, w, group):
+        chunk = words[base : base + group]
+        pay = jnp.stack([c.astype(jnp.uint32) for c in chunk], axis=1)
+        krep = jnp.broadcast_to(destu[:, None], pay.shape)
+        placed = jax.lax.sort((krep, pay), num_keys=1, dimension=0)[1]
+        if cnt is not None:
+            live = (jnp.arange(n, dtype=jnp.int32) < cnt)[:, None]
+            placed = jnp.where(live, placed, 0)
+        outs.extend(placed[:, j] for j in range(len(chunk)))
+    return tuple(outs)
+
+
 def place35(dest: jax.Array, cnt: jax.Array, *words: jax.Array):
     """The 35-word record materializer as ONE jittable program.
 

@@ -192,3 +192,34 @@ def test_pipeline_single_engines_agree(rng):
         assert int(a[k]) == int(b[k]), k
     for k in ("recid", "num", "strs", "valid"):
         np.testing.assert_array_equal(_np(a["join_out"])[k], _np(b["join_out"])[k])
+
+
+def test_place_words_2d_matches_place_words(rng):
+    from database_technology_algorithms_tpu.ops.movement import place_words_2d
+
+    n = 1024
+    dest = rng.permutation(n).astype(np.uint32)
+    words = [rng.integers(0, 2**32, n, dtype=np.uint32) for _ in range(33)]
+    jwords = [jnp.asarray(w) for w in words]
+    base = place_words(jnp.asarray(dest), jwords)
+    for npay in (1, 2, 5):
+        out = place_words_2d(jnp.asarray(dest), None, jwords, npay=npay)
+        for b, o in zip(base, out):
+            np.testing.assert_array_equal(np.asarray(o), np.asarray(b))
+
+
+def test_place_words_2d_live_count_zeroing(rng):
+    from database_technology_algorithms_tpu.ops.movement import place_words_2d
+
+    n = 512
+    cnt = 100
+    dest = rng.permutation(n).astype(np.uint32)
+    words = [rng.integers(0, 2**32, n, dtype=np.uint32) for _ in range(4)]
+    out = place_words_2d(
+        jnp.asarray(dest), jnp.int32(cnt), [jnp.asarray(w) for w in words]
+    )
+    for w, o in zip(words, out):
+        expect = np.empty(n, np.uint32)
+        expect[dest] = w
+        expect[cnt:] = 0
+        np.testing.assert_array_equal(np.asarray(o), expect)
