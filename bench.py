@@ -35,7 +35,9 @@ import jax
 import jax.numpy as jnp
 
 ROWS = 1_000_000
-KEY_RANGE = 300_000
+if "--rows" in sys.argv:  # smoke-testing override (CPU CI)
+    ROWS = int(sys.argv[sys.argv.index("--rows") + 1])
+KEY_RANGE = max(3 * ROWS // 10, 1)
 K = 6  # queued dispatch rounds per steady-state timing
 BASELINE_ROWS_PER_S = 155_700.0  # BASELINE.md MergeJoin pipeline, 1 x86 core
 
@@ -119,6 +121,33 @@ def main() -> int:
         out = pipe_mat(r, s)
         merge_nres, hash_nres = int(out[1]), int(out[2])
 
+    # same pipeline, record materialization through the replicated-key 2-D
+    # sort engine (one 2-operand [N,33] sort instead of five 8-operand ones)
+    from database_technology_algorithms_tpu.config import EngineConfig
+
+    staged2d = make_pipeline_staged(1, EngineConfig(materialize="sort2d"))
+
+    def pipe_mat_2d(r, s):
+        out = staged2d(r, s)
+        j = out["join_out"]
+        chk = (
+            jnp.sum(j.recid, dtype=jnp.uint32)
+            + jnp.sum(j.num, dtype=jnp.uint32)
+            + jnp.sum(j.strw, dtype=jnp.uint32)
+        )
+        return chk, out["merge_nres"], out["hash_nres"]
+
+    per_mat2d = run("pipeline_materialized_2d", pipe_mat_2d, (r, s), "pipeline", ROWS)
+    if per_mat2d is not None and per_mat is not None:
+        a, b = pipe_mat(r, s), pipe_mat_2d(r, s)
+        if int(a[0]) != int(b[0]):
+            print(
+                f"# ENGINE MISMATCH place35 chk={int(a[0])} sort2d chk={int(b[0])}",
+                file=sys.stderr,
+            )
+            per_mat2d = None
+            results[-1] = ("pipeline_materialized_2d", None, 0.0, "pipeline", ROWS)
+
     # counters-only: the monolith program returning only the counters — XLA
     # DCEs the materialization sorts, leaving the one fused view sort
     from database_technology_algorithms_tpu.models.pipeline import (
@@ -199,7 +228,9 @@ def main() -> int:
             "fraction_of_sol": round(a.fraction_of_sol, 4),
             "rows_per_s": round(rows / per, 1),
         }
-        if headline is None:
+        if name.startswith("pipeline_materialized") and (
+            headline is None or per < headline
+        ):
             headline = per
         print(
             f"# roofline {name:24s} {per*1e3:9.2f} ms  "

@@ -151,7 +151,7 @@ def pipeline_single_impl(
 
     if use_sort_placement(cfg):
         dest, cnt = survivor_dest(view.perm, matched)
-        mj_out = permute_rows(r, dest[:nr], count=cnt)
+        mj_out = permute_rows(r, dest[:nr], count=cnt, cfg=cfg)
     else:
         cnt, (orig_front,) = compact_words(matched, (view.perm,))
         gather_idx = jnp.where(
@@ -194,7 +194,7 @@ def make_pipeline_staged(field: int = 1, cfg: EngineConfig = DEFAULT_CONFIG):
          placement sorts in ONE executable (identical unrolled sorts
          compile cheaply: ~25 s measured vs ~80 s for one alone)
     """
-    from ..ops.movement import place35, use_sort_placement
+    from ..ops.movement import place35, place_words_2d, use_sort_placement
     from ..ops.scan import seg_carry, seg_max, seg_min
     from ..ops.sort import survivor_dest
 
@@ -239,12 +239,17 @@ def make_pipeline_staged(field: int = 1, cfg: EngineConfig = DEFAULT_CONFIG):
         }
 
     jit_a = jax.jit(stage_a)
-    jit_place = jax.jit(place35)
+    if cfg.materialize == "sort2d":
+        jit_place = jax.jit(
+            lambda dest, cnt, *words: place_words_2d(dest, cnt, list(words))
+        )
+    else:
+        jit_place = jax.jit(place35)
 
     def run(r: RecordBatch, s: RecordBatch) -> dict:
         nr = r.nrows
         out = jit_a(r, s)
-        if use_sort_placement(cfg):
+        if cfg.materialize == "sort2d" or use_sort_placement(cfg):
             mj_out = RecordBatch.from_payload_words(
                 list(jit_place(out["dest"], out["cnt"], *r.payload_words()))
             )

@@ -97,7 +97,7 @@ def join_sorted_distinct_impl(
         dest, nres = survivor_dest(view.perm, matched)
         # every matched rank lives in the R half; unmatched R rows keep
         # unique sink destinations >= nres, so dest[:nr] is still unique
-        out = permute_rows(r, dest[: r.nrows], count=nres)
+        out = permute_rows(r, dest[: r.nrows], count=nres, cfg=cfg)
         return out, nres
     out, nres = materialize_survivors(both, view.perm, matched, cfg)
     return out.slice(0, r.nrows), nres

@@ -114,15 +114,22 @@ def place35(dest: jax.Array, cnt: jax.Array, *words: jax.Array):
 
 
 def permute_rows(
-    batch: RecordBatch, dest: jax.Array, count: jax.Array | None = None
+    batch: RecordBatch,
+    dest: jax.Array,
+    count: jax.Array | None = None,
+    cfg: EngineConfig = DEFAULT_CONFIG,
 ) -> RecordBatch:
     """Move row i to output position rank-of(dest[i]); dest values unique.
 
     With `count`, rows whose dest >= count are zeroed (the static-capacity
-    padding convention).
+    padding convention).  cfg.materialize == "sort2d" routes through the
+    replicated-key 2-D sort engine instead of grouped placement sorts.
     """
     words = batch.payload_words()
-    placed = place_words(dest, words)
+    if cfg.materialize == "sort2d":
+        placed = list(place_words_2d(dest, None, words))
+    else:
+        placed = place_words(dest, words)
     out = RecordBatch.from_payload_words(placed)
     if count is not None:
         n = batch.nrows
@@ -190,7 +197,7 @@ def compact_rows(
     iota = jnp.arange(n, dtype=jnp.int32)
     if use_sort_placement(cfg):
         dest, count = compaction_dest(keep)
-        out = permute_rows(batch, dest, count=count)
+        out = permute_rows(batch, dest, count=count, cfg=cfg)
         extras = tuple(place_words(dest, [e for e in extra])) if extra else ()
         return out, count, extras
     count, out = compact_words(keep, (iota,) + tuple(extra))

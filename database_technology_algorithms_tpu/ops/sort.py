@@ -208,7 +208,7 @@ def materialize_survivors(
     n = batch.nrows
     if use_sort_placement(cfg):
         dest, count = survivor_dest(view_perm, keep_sorted)
-        return permute_rows(batch, dest, count=count), count
+        return permute_rows(batch, dest, count=count, cfg=cfg), count
     drop_w = (~keep_sorted).astype(jnp.uint32)
     out = jax.lax.sort(
         (drop_w, jnp.arange(n, dtype=jnp.int32), view_perm), num_keys=2
@@ -252,7 +252,7 @@ def sort_batch_impl(
             (jnp.arange(n, dtype=jnp.int32),),
             stable_iota=False,
         )
-        return permute_rows(batch, dest), view.perm
+        return permute_rows(batch, dest, cfg=cfg), view.perm
     return batch.take(view.perm), view.perm
 
 
