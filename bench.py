@@ -11,28 +11,27 @@ Measurement notes (tools/bench_calibrate*.py, PERF_NOTES.md):
   * block_until_ready does not reliably fence execution through the axon
     tunnel, and every synced call carries a fixed ~26 ms round trip — each
     timing therefore ends with a device->host scalar readback (which does
-    fence) and reports the K-dispatch steady state:
-    (K queued dispatch rounds + fence  -  1 round + fence) / (K - 1);
-  * the pipeline runs as STAGED small programs (models/pipeline.py
-    make_pipeline_staged): one monolithic program holding all ~8 sorts has
-    twice hung or crashed the remote compile service; the staged form
-    compiles each piece separately and the five placement sorts share one
-    executable;
+    fence) and reports the K-dispatch steady state;
+  * the remote compile service has repeatedly HUNG on specific programs
+    (round 1: a monolith with ~8 sorts; round 2: one place35 compile wedged
+    >35 min).  Every variant therefore runs in its OWN SUBPROCESS with a
+    hard timeout and one retry, so a wedged compile costs one variant, not
+    the whole benchmark.  The persistent compile cache makes retries and
+    later runs cheap;
   * the headline variant's fenced scalar depends on every materialized
-    join_out column, so the record materialization cannot be DCE'd
-    (round-1 weakness: counters-only bench); a counters-only variant is
-    reported alongside.
+    join_out column, so the record materialization cannot be DCE'd; two
+    materializer engines (grouped placement sorts vs replicated-key 2-D
+    sort) are raced and the faster one is the headline.
 
 Prints per-op roofline lines (fraction of HBM speed-of-light, the north
 star's >=80% target) on stderr and ONE JSON line on stdout.
 """
 
 import json
+import os
+import subprocess
 import sys
 import time
-
-import jax
-import jax.numpy as jnp
 
 ROWS = 1_000_000
 if "--rows" in sys.argv:  # smoke-testing override (CPU CI)
@@ -40,9 +39,23 @@ if "--rows" in sys.argv:  # smoke-testing override (CPU CI)
 KEY_RANGE = max(3 * ROWS // 10, 1)
 K = 6  # queued dispatch rounds per steady-state timing
 BASELINE_ROWS_PER_S = 155_700.0  # BASELINE.md MergeJoin pipeline, 1 x86 core
+CHILD_TIMEOUT_S = int(os.environ.get("BENCH_CHILD_TIMEOUT_S", "1500"))
+
+VARIANTS = [
+    # (name, audit op, rows denominator is ROWS for all)
+    ("pipeline_materialized", "pipeline"),
+    ("pipeline_materialized_2d", "pipeline"),
+    ("pipeline_counters_only", "pipeline"),
+    ("sort", "sort"),
+    ("distinct", "distinct"),
+    ("hash_join_count", "hash_join"),
+]
 
 
 def fence(out) -> float:
+    import jax
+    import jax.numpy as jnp
+
     leaf = jax.tree_util.tree_leaves(out)[0]
     return float(jnp.asarray(leaf).reshape(-1)[0])
 
@@ -68,181 +81,256 @@ def timed_calls(call, args, reps=2):
     return best, warm_s
 
 
-def main() -> int:
-    if "--cpu" in sys.argv:
-        jax.config.update("jax_platforms", "cpu")
-    from database_technology_algorithms_tpu.utils.cache import enable_persistent_cache
+def gen_inputs():
+    import jax
 
-    enable_persistent_cache(tag="cpu" if "--cpu" in sys.argv else "tpu")
-    from database_technology_algorithms_tpu.io.device_gen import generate_device_batch
-    from database_technology_algorithms_tpu.models.pipeline import (
-        make_pipeline_staged,
+    from database_technology_algorithms_tpu.io.device_gen import (
+        generate_device_batch,
     )
-    from database_technology_algorithms_tpu.ops.distinct import distinct_impl
-    from database_technology_algorithms_tpu.ops.hash_join import hash_join_count_impl
-    from database_technology_algorithms_tpu.ops.sort import sort_keys, survivor_dest
-    from database_technology_algorithms_tpu.utils.roofline import audit
 
-    dev = jax.devices()[0]
     k1, k2 = jax.random.split(jax.random.PRNGKey(42))
-    t0 = time.perf_counter()
     r = generate_device_batch(k1, ROWS, key_range=KEY_RANGE)
     s = generate_device_batch(k2, ROWS, key_range=KEY_RANGE)
     jax.block_until_ready((r, s))
-    gen_s = time.perf_counter() - t0
+    return r, s
 
-    results = []
-    merge_nres = hash_nres = -1
 
-    def run(name, call, args, audit_op, rows):
-        try:
-            per, c = timed_calls(call, args)
-        except Exception as e:  # remote compile service flakes: keep going
-            print(f"# {name} FAILED: {type(e).__name__}: {e}", file=sys.stderr)
-            results.append((name, None, 0.0, audit_op, rows))
-            return None
-        results.append((name, per, c, audit_op, rows))
-        return per
+def build_variant(name, r, s):
+    """Return a timing callable for `name`; extra fields dict is returned by
+    running it once (counters/checksum for the materialized variants)."""
+    import jax
+    import jax.numpy as jnp
 
-    staged = make_pipeline_staged(1)
-
-    def pipe_mat(r, s):
-        out = staged(r, s)
-        j = out["join_out"]
-        chk = (
-            jnp.sum(j.recid, dtype=jnp.uint32)
-            + jnp.sum(j.num, dtype=jnp.uint32)
-            + jnp.sum(j.strw, dtype=jnp.uint32)
-        )
-        return chk, out["merge_nres"], out["hash_nres"]
-
-    per_mat = run("pipeline_materialized", pipe_mat, (r, s), "pipeline", ROWS)
-    if per_mat is not None:
-        out = pipe_mat(r, s)
-        merge_nres, hash_nres = int(out[1]), int(out[2])
-
-    # same pipeline, record materialization through the replicated-key 2-D
-    # sort engine (one 2-operand [N,33] sort instead of five 8-operand ones)
     from database_technology_algorithms_tpu.config import EngineConfig
-
-    staged2d = make_pipeline_staged(1, EngineConfig(materialize="sort2d"))
-
-    def pipe_mat_2d(r, s):
-        out = staged2d(r, s)
-        j = out["join_out"]
-        chk = (
-            jnp.sum(j.recid, dtype=jnp.uint32)
-            + jnp.sum(j.num, dtype=jnp.uint32)
-            + jnp.sum(j.strw, dtype=jnp.uint32)
-        )
-        return chk, out["merge_nres"], out["hash_nres"]
-
-    per_mat2d = run("pipeline_materialized_2d", pipe_mat_2d, (r, s), "pipeline", ROWS)
-    if per_mat2d is not None and per_mat is not None:
-        a, b = pipe_mat(r, s), pipe_mat_2d(r, s)
-        if int(a[0]) != int(b[0]):
-            print(
-                f"# ENGINE MISMATCH place35 chk={int(a[0])} sort2d chk={int(b[0])}",
-                file=sys.stderr,
-            )
-            per_mat2d = None
-            results[-1] = ("pipeline_materialized_2d", None, 0.0, "pipeline", ROWS)
-
-    # counters-only: the monolith program returning only the counters — XLA
-    # DCEs the materialization sorts, leaving the one fused view sort
     from database_technology_algorithms_tpu.models.pipeline import (
+        make_pipeline_staged,
         pipeline_single_impl,
     )
 
-    def _counters_program(r, s):
-        out = pipeline_single_impl(r, s, field=1)
-        return out["merge_nres"], out["hash_nres"], out["nunique_r"]
+    if name in ("pipeline_materialized", "pipeline_materialized_2d"):
+        cfg = (
+            EngineConfig(materialize="sort2d")
+            if name.endswith("_2d")
+            else EngineConfig()
+        )
+        staged = make_pipeline_staged(1, cfg)
 
-    run(
-        "pipeline_counters_only",
-        jax.jit(_counters_program),
-        (r, s),
-        "pipeline",
-        ROWS,
+        def call(r, s):
+            out = staged(r, s)
+            j = out["join_out"]
+            chk = (
+                jnp.sum(j.recid, dtype=jnp.uint32)
+                + jnp.sum(j.num, dtype=jnp.uint32)
+                + jnp.sum(j.strw, dtype=jnp.uint32)
+            )
+            return chk, out["merge_nres"], out["hash_nres"]
+
+        def extras():
+            out = call(r, s)
+            return {
+                "chk": int(out[0]),
+                "merge_nres": int(out[1]),
+                "hash_nres": int(out[2]),
+            }
+
+        return call, extras
+
+    if name == "pipeline_counters_only":
+        # the monolith returning only counters — XLA DCEs the
+        # materialization sorts, leaving the one fused view sort
+        def _counters(r, s):
+            out = pipeline_single_impl(r, s, field=1)
+            return out["merge_nres"], out["hash_nres"], out["nunique_r"]
+
+        jf = jax.jit(_counters)
+        return (lambda r, s: jf(r, s)), (lambda: {})
+
+    from database_technology_algorithms_tpu.ops.distinct import distinct_view
+    from database_technology_algorithms_tpu.ops.hash_join import (
+        hash_join_count_impl,
     )
-
-    # ---- per-op audits: (dest program) + the SHARED place35 executable ---
-    from database_technology_algorithms_tpu.ops.movement import place35
+    from database_technology_algorithms_tpu.ops.movement import place35, sort_words
+    from database_technology_algorithms_tpu.ops.sort import sort_keys, survivor_dest
 
     jit_place35 = jax.jit(place35)
 
-    def _sort_stage(r):
-        view = sort_keys(r, 1)
-        from database_technology_algorithms_tpu.ops.movement import sort_words
+    if name == "sort":
 
-        _, (dest,) = sort_words(
-            [view.perm.astype(jnp.uint32)],
-            (jnp.arange(r.nrows, dtype=jnp.int32),),
-            stable_iota=False,
-        )
-        return dest.astype(jnp.uint32)
+        def _sort_stage(r):
+            view = sort_keys(r, 1)
+            _, (dest,) = sort_words(
+                [view.perm.astype(jnp.uint32)],
+                (jnp.arange(r.nrows, dtype=jnp.int32),),
+                stable_iota=False,
+            )
+            return dest.astype(jnp.uint32)
 
-    jit_sortdest = jax.jit(_sort_stage)
+        jit_sortdest = jax.jit(_sort_stage)
 
-    def sort_call(r):
-        dest = jit_sortdest(r)
-        return jit_place35(dest, jnp.int32(ROWS), *r.payload_words())[1]
+        def call(r):
+            dest = jit_sortdest(r)
+            return jit_place35(dest, jnp.int32(ROWS), *r.payload_words())[1]
 
-    run("sort", sort_call, (r,), "sort", ROWS)
+        return (lambda r, s: call(r)), (lambda: {})
 
-    def _distinct_stage(r):
-        from database_technology_algorithms_tpu.ops.distinct import distinct_view
+    if name == "distinct":
 
-        view, keep = distinct_view(r, 1)
-        dest, cnt = survivor_dest(view.perm, keep)
-        return dest.astype(jnp.uint32), cnt
+        def _distinct_stage(r):
+            view, keep = distinct_view(r, 1)
+            dest, cnt = survivor_dest(view.perm, keep)
+            return dest.astype(jnp.uint32), cnt
 
-    jit_distdest = jax.jit(_distinct_stage)
+        jit_distdest = jax.jit(_distinct_stage)
 
-    def distinct_call(r):
-        dest, cnt = jit_distdest(r)
-        return jit_place35(dest, cnt, *r.payload_words())[1]
+        def call(r):
+            dest, cnt = jit_distdest(r)
+            return jit_place35(dest, cnt, *r.payload_words())[1]
 
-    run("distinct", distinct_call, (r,), "distinct", ROWS)
+        return (lambda r, s: call(r)), (lambda: {})
 
-    jit_hj = jax.jit(lambda r, s: hash_join_count_impl(r, s, 1)[2])
-    run("hash_join_count", jit_hj, (r, s), "hash_join", ROWS)
+    if name == "hash_join_count":
+        jf = jax.jit(lambda r, s: hash_join_count_impl(r, s, 1)[2])
+        return (lambda r, s: jf(r, s)), (lambda: {})
 
-    # ---- report -----------------------------------------------------------
-    print(
-        f"# device={dev.platform} gen={gen_s:.2f}s K={K} "
-        f"merge_nres={merge_nres} hash_nres={hash_nres} "
-        f"agree={merge_nres == hash_nres}",
-        file=sys.stderr,
+    raise ValueError(name)
+
+
+def child_main(name: str) -> int:
+    import jax
+
+    from database_technology_algorithms_tpu.utils.cache import (
+        enable_persistent_cache,
     )
+
+    if "--cpu" in sys.argv:
+        jax.config.update("jax_platforms", "cpu")
+    enable_persistent_cache(tag="cpu" if "--cpu" in sys.argv else "tpu")
+    r, s = gen_inputs()
+    call, extras = build_variant(name, r, s)
+    per, warm = timed_calls(call, (r, s))
+    rec = {"name": name, "per_s": per, "warmup_s": warm}
+    rec.update(extras())
+    rec["platform"] = jax.devices()[0].platform
+    rec["device_kind"] = str(getattr(jax.devices()[0], "device_kind", "cpu"))
+    print("BENCH_CHILD " + json.dumps(rec))
+    return 0
+
+
+def parent_main() -> int:
+    t_start = time.perf_counter()
+    passthrough = [a for a in sys.argv[1:] if a != "--variant"]
+    recs = {}
+    for name, _op in VARIANTS:
+        for attempt in (1, 2):
+            cmd = [sys.executable, __file__, "--variant", name] + passthrough
+            try:
+                p = subprocess.run(
+                    cmd,
+                    timeout=CHILD_TIMEOUT_S,
+                    capture_output=True,
+                    text=True,
+                    cwd=os.path.dirname(os.path.abspath(__file__)),
+                )
+            except subprocess.TimeoutExpired:
+                print(
+                    f"# {name} attempt {attempt}: TIMEOUT {CHILD_TIMEOUT_S}s "
+                    f"(wedged compile service?)",
+                    file=sys.stderr,
+                )
+                continue
+            line = next(
+                (
+                    l
+                    for l in p.stdout.splitlines()
+                    if l.startswith("BENCH_CHILD ")
+                ),
+                None,
+            )
+            if p.returncode == 0 and line:
+                recs[name] = json.loads(line[len("BENCH_CHILD "):])
+                break
+            tail = (p.stderr or "").strip().splitlines()[-3:]
+            print(
+                f"# {name} attempt {attempt}: rc={p.returncode} "
+                + " | ".join(tail),
+                file=sys.stderr,
+            )
+        else:
+            recs[name] = None
+
+    # ---- aggregate + report -------------------------------------------
+    # device identity comes from the child records: the parent never opens
+    # its own device connection (tunnel init costs minutes)
+    from database_technology_algorithms_tpu.utils.roofline import audit
+
+    class _Dev:
+        platform = "cpu"
+        device_kind = "cpu"
+
+    dev = _Dev()
+    for rec in recs.values():
+        if rec:
+            dev.platform = rec["platform"]
+            dev.device_kind = rec["device_kind"]
+            break
+
+    mats = [
+        recs.get(n)
+        for n in ("pipeline_materialized", "pipeline_materialized_2d")
+        if recs.get(n)
+    ]
+    merge_nres = mats[0]["merge_nres"] if mats else -1
+    hash_nres = mats[0]["hash_nres"] if mats else -2
+    chks = {m["chk"] for m in mats}
+    if len(chks) > 1:
+        print(f"# ENGINE MISMATCH between materializers: {chks}", file=sys.stderr)
+        return 1
+
     detail = {}
     headline = None
-    for name, per, c, op, rows in results:
-        if per is None:
-            detail[name] = {"error": "compile_failed"}
+    for name, op in VARIANTS:
+        rec = recs.get(name)
+        if not rec:
+            detail[name] = {"error": "failed_or_timeout"}
             continue
-        a = audit(op, rows, per, device=dev)
+        per = rec["per_s"]
+        a = audit(op, ROWS, per, device=dev)
         detail[name] = {
             "ms": round(per * 1e3, 3),
-            "warmup_s": round(c, 1),
+            "warmup_s": round(rec["warmup_s"], 1),
             "fraction_of_sol": round(a.fraction_of_sol, 4),
-            "rows_per_s": round(rows / per, 1),
+            "rows_per_s": round(ROWS / per, 1),
         }
         if name.startswith("pipeline_materialized") and (
             headline is None or per < headline
         ):
             headline = per
         print(
-            f"# roofline {name:24s} {per*1e3:9.2f} ms  "
+            f"# roofline {name:26s} {per*1e3:9.2f} ms  "
             f"{100*a.fraction_of_sol:5.1f}% of {a.sol_gbps:.0f} GB/s SoL  "
-            f"({rows/per/1e6:.2f} M rows/s)  warmup={c:.0f}s",
+            f"({ROWS/per/1e6:.2f} M rows/s)  warmup={rec['warmup_s']:.0f}s",
             file=sys.stderr,
         )
 
+    print(
+        f"# device={dev.platform} total={time.perf_counter()-t_start:.0f}s "
+        f"merge_nres={merge_nres} hash_nres={hash_nres} "
+        f"agree={merge_nres == hash_nres}",
+        file=sys.stderr,
+    )
     if headline is None:
-        print(json.dumps({"metric": "mergejoin_pipeline_rows_per_s_1chip",
-                          "value": 0, "unit": "rows/s", "vs_baseline": 0,
-                          "error": "all timings failed"}))
+        print(
+            json.dumps(
+                {
+                    "metric": "mergejoin_pipeline_rows_per_s_1chip",
+                    "value": 0,
+                    "unit": "rows/s",
+                    "vs_baseline": 0,
+                    "error": "all pipeline timings failed",
+                    "detail": detail,
+                }
+            )
+        )
         return 1
     rows_per_s = ROWS / headline
     print(
@@ -258,6 +346,12 @@ def main() -> int:
         )
     )
     return 0 if merge_nres == hash_nres else 1
+
+
+def main() -> int:
+    if "--variant" in sys.argv:
+        return child_main(sys.argv[sys.argv.index("--variant") + 1])
+    return parent_main()
 
 
 if __name__ == "__main__":
