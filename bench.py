@@ -43,8 +43,10 @@ CHILD_TIMEOUT_S = int(os.environ.get("BENCH_CHILD_TIMEOUT_S", "1500"))
 
 VARIANTS = [
     # (name, audit op, rows denominator is ROWS for all)
+    # ("pipeline_materialized_2d", "pipeline"): measured 5-8x slower —
+    # XLA's batched-column sort pays ~13x per column vs the 1-D variadic
+    # sort (PERF_NOTES.md); run it ad hoc with --variant if needed
     ("pipeline_materialized", "pipeline"),
-    ("pipeline_materialized_2d", "pipeline"),
     ("pipeline_counters_only", "pipeline"),
     ("sort", "sort"),
     ("distinct", "distinct"),

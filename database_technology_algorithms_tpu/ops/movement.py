@@ -69,9 +69,15 @@ def place_words_2d(
     matrices) keyed by dest broadcast to the same shape: every column sorts
     independently along axis 0 by an identical key column, so rows move
     coherently.  Requires UNIQUE dest values (a non-stable sort may resolve
-    ties differently per column).  If XLA's 1-D variadic sort is
-    lane-starved, this moves the whole record near the cost of a 2-operand
-    sort; measured on the target chip by tools/bench_permute_prims.py (P1).
+    ties differently per column).
+
+    MEASURED NEGATIVE RESULT (tools/bench_permute_prims.py P1, target chip,
+    1M rows): a 2-operand [N,4] replicated-key sort costs 14.6 ms vs
+    1.12 ms for the flat [N] 2-operand sort — XLA's TPU sort pays ~13x per
+    batched column, so 35 words cost 73-131 ms here vs 17 ms through
+    place35's grouped 1-D sorts.  Kept as the documented alternative (and
+    for backends where batched-column sorts vectorize); place35 remains the
+    production materializer.
 
     With `cnt`, rows placed at positions >= cnt are zeroed (the static-
     capacity live-count convention, same as place35).
