@@ -152,11 +152,16 @@ def p23(int8: bool):
 
 
 def make_rowmove(load: bool, interpret: bool):
-    def kernel(slot_ref, x_ref, o_ref):
-        i = pl.program_id(0)
+    # slot values arrive as a VMEM block and are DMA'd to SMEM scratch so
+    # the per-row loop can read them as scalars (the whole-array scalar-
+    # prefetch form exceeds the 1 MB SMEM budget at 1M rows)
+    def kernel(slot_ref, x_ref, o_ref, smem, sem):
+        cp = pltpu.make_async_copy(slot_ref, smem, sem)
+        cp.start()
+        cp.wait()
 
         def body(j, _):
-            s = slot_ref[i, j]
+            s = smem[j, 0]
             if load:
                 o_ref[pl.ds(j, 1), :] = x_ref[pl.ds(s, 1), :]
             else:
@@ -169,19 +174,21 @@ def make_rowmove(load: bool, interpret: bool):
     def f(x, slot):
         return pl.pallas_call(
             kernel,
-            grid_spec=pltpu.PrefetchScalarGridSpec(
-                num_scalar_prefetch=1,
-                grid=(N // T,),
-                in_specs=[
-                    pl.BlockSpec((T, W), lambda i, s: (i, 0), memory_space=pltpu.VMEM)
-                ],
-                out_specs=pl.BlockSpec(
-                    (T, W), lambda i, s: (i, 0), memory_space=pltpu.VMEM
-                ),
+            grid=(N // T,),
+            in_specs=[
+                pl.BlockSpec((T, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((T, W), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (T, W), lambda i: (i, 0), memory_space=pltpu.VMEM
             ),
+            scratch_shapes=[
+                pltpu.SMEM((T, 1), jnp.int32),
+                pltpu.SemaphoreType.DMA,
+            ],
             out_shape=jax.ShapeDtypeStruct((N, W), jnp.uint32),
             interpret=interpret,
-        )(slot, x)
+        )(slot[:, None], x)
 
     return f
 
@@ -196,13 +203,10 @@ def p45(load: bool):
     ).astype(np.int32)
     slot = jnp.asarray(slot)
 
-    def slot_view(slot):
-        return slot.reshape(N // T, T)
-
     f = make_rowmove(load, interpret=CPU)
 
     def g(x, slot):
-        return f(x, slot_view(slot))
+        return f(x, slot)
 
     name = f"P{'5' if load else '4'} pallas row-{'load' if load else 'store'}"
     if CPU:
