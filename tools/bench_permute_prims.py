@@ -161,7 +161,7 @@ def make_rowmove(load: bool, interpret: bool):
         cp.wait()
 
         def body(j, _):
-            s = smem[j, 0]
+            s = smem[0, j]
             if load:
                 o_ref[pl.ds(j, 1), :] = x_ref[pl.ds(s, 1), :]
             else:
@@ -176,19 +176,19 @@ def make_rowmove(load: bool, interpret: bool):
             kernel,
             grid=(N // T,),
             in_specs=[
-                pl.BlockSpec((T, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, T), lambda i: (0, i), memory_space=pltpu.VMEM),
                 pl.BlockSpec((T, W), lambda i: (i, 0), memory_space=pltpu.VMEM),
             ],
             out_specs=pl.BlockSpec(
                 (T, W), lambda i: (i, 0), memory_space=pltpu.VMEM
             ),
             scratch_shapes=[
-                pltpu.SMEM((T, 1), jnp.int32),
+                pltpu.SMEM((1, T), jnp.int32),
                 pltpu.SemaphoreType.DMA,
             ],
             out_shape=jax.ShapeDtypeStruct((N, W), jnp.uint32),
             interpret=interpret,
-        )(slot[:, None], x)
+        )(slot[None, :], x)
 
     return f
 
