@@ -151,10 +151,11 @@ def build_variant(name, r, s):
     from database_technology_algorithms_tpu.ops.hash_join import (
         hash_join_count_impl,
     )
-    from database_technology_algorithms_tpu.ops.movement import place35, sort_words
+    from database_technology_algorithms_tpu.ops.movement import (
+        place_grouped,
+        sort_words,
+    )
     from database_technology_algorithms_tpu.ops.sort import sort_keys, survivor_dest
-
-    jit_place35 = jax.jit(place35)
 
     if name == "sort":
 
@@ -171,7 +172,7 @@ def build_variant(name, r, s):
 
         def call(r):
             dest = jit_sortdest(r)
-            return jit_place35(dest, jnp.int32(ROWS), *r.payload_words())[1]
+            return place_grouped(dest, jnp.int32(ROWS), r.payload_words())[1]
 
         return (lambda r, s: call(r)), (lambda: {})
 
@@ -186,7 +187,7 @@ def build_variant(name, r, s):
 
         def call(r):
             dest, cnt = jit_distdest(r)
-            return jit_place35(dest, cnt, *r.payload_words())[1]
+            return place_grouped(dest, cnt, r.payload_words())[1]
 
         return (lambda r, s: call(r)), (lambda: {})
 

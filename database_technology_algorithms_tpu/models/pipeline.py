@@ -38,11 +38,59 @@ from ..ops.distinct import distinct_impl
 from ..ops.filter import compact
 from ..ops.hash_join import hash_join_count_impl
 from ..ops.merge_join import join_sorted_distinct_impl
-from ..ops.keys import key_hash
+from ..ops.keys import key_hash, key_words
 from ..ops.movement import compact_words
-from ..ops.sort import sort_keys
+from ..ops.sort import SortedView, sort_keys
 from ..parallel.mesh import mesh_size
 from ..parallel.shuffle import shuffle
+
+
+def _pipeline_view(both: RecordBatch, nr: int, field: int, cfg: EngineConfig):
+    """The pipeline's ONE fused sort, at minimal operand count.
+
+    Two operand savings over the round-1 form (each lax.sort operand costs
+    ~0.36 ms/M rows on the target chip):
+
+    * ``side`` is neither a sort word nor payload: the original row index —
+      already the final stability key — is monotone in side (R rows occupy
+      [0, nr)), so sorting by (inactive, key, iota) alone yields
+      actives-first, by key, R-before-S-within-key, deterministic; the
+      sorted side word is recomputed as ``perm >= nr``.
+    * for int-keyed fields the sorted pre/key words double as the activity
+      mask and the num column, so the sort carries ZERO payload words —
+      field '1' runs 3 operands total (vs 7 in round 1, ~2.9 ms saved at
+      2M rows).
+
+    Returns (view, adj, is_r, is_s, prev_side, v_num).
+    """
+    n = both.nrows
+    active = both.valid
+    inact = (~active).astype(jnp.uint32)
+    iota = jnp.arange(n, dtype=jnp.int32)
+    if field in (0, 1):
+        kw = key_words(both, field)  # (recid,) or (num,)
+        extra = () if field == 1 else (both.num,)
+        out = jax.lax.sort((inact, kw[0], iota) + extra, num_keys=3)
+        s_inact, s_key, perm = out[0], out[1], out[2]
+        adj = jnp.concatenate([jnp.zeros(1, bool), s_key[1:] == s_key[:-1]])
+        v_num = s_key if field == 1 else out[3]
+        v_act = s_inact == 0
+        view = SortedView(perm=perm, adj_eq=adj, extras=())
+    else:
+        view = sort_keys(
+            both, field, cfg,
+            pre_words=(inact,),
+            extra=(active.astype(jnp.uint32), both.num),
+        )
+        v_act_w, v_num = view.extras
+        v_act = v_act_w == 1
+        adj = view.adj_eq
+        perm = view.perm
+    v_side = (perm >= nr).astype(jnp.uint32)
+    is_r = v_act & (v_side == 0)
+    is_s = v_act & (v_side == 1)
+    prev_side = jnp.concatenate([jnp.zeros(1, jnp.uint32), v_side[:-1]])
+    return view, adj, is_r, is_s, prev_side, v_num
 
 
 def pipeline_single_impl(
@@ -77,23 +125,11 @@ def pipeline_single_impl(
     # selection filter: the valid flag is the reference format's predicate
     # slot (dbtproj.h:24) — applied as an activity MASK, zero data movement
     both = RecordBatch.concat([r, s])
-    idx = jnp.arange(n, dtype=jnp.int32)
-    side = (idx >= nr).astype(jnp.uint32)
-    active = both.valid
 
     # THE sort: actives first, by key, R before S within a key, stable
-    view = sort_keys(
-        both, field, cfg,
-        pre_words=((~active).astype(jnp.uint32),),
-        post_words=(side,),
-        extra=(side, active.astype(jnp.uint32), both.num),
+    view, adj, is_r, is_s, prev_side, v_num = _pipeline_view(
+        both, nr, field, cfg
     )
-    v_side, v_act, v_num = view.extras
-    adj = view.adj_eq  # same FULL key as previous sorted row
-    act = v_act == 1
-    is_r = act & (v_side == 0)
-    is_s = act & (v_side == 1)
-    prev_side = jnp.concatenate([jnp.zeros(1, jnp.uint32), v_side[:-1]])
 
     # distinct firsts (EliminateDuplicates, DatabaseProject.cpp:94-170):
     # actives form a prefix and R precedes S within each key run, so the
@@ -194,29 +230,16 @@ def make_pipeline_staged(field: int = 1, cfg: EngineConfig = DEFAULT_CONFIG):
          placement sorts in ONE executable (identical unrolled sorts
          compile cheaply: ~25 s measured vs ~80 s for one alone)
     """
-    from ..ops.movement import place35, place_words_2d, use_sort_placement
+    from ..ops.movement import place_grouped, place_words_2d, use_sort_placement
     from ..ops.scan import seg_carry, seg_max, seg_min
     from ..ops.sort import survivor_dest
 
     def stage_a(r: RecordBatch, s: RecordBatch) -> dict:
-        nr, ns = r.nrows, s.nrows
-        n = nr + ns
+        nr = r.nrows
         both = RecordBatch.concat([r, s])
-        idx = jnp.arange(n, dtype=jnp.int32)
-        side = (idx >= nr).astype(jnp.uint32)
-        active = both.valid
-        view = sort_keys(
-            both, field, cfg,
-            pre_words=((~active).astype(jnp.uint32),),
-            post_words=(side,),
-            extra=(side, active.astype(jnp.uint32), both.num),
+        view, adj, is_r, is_s, prev_side, _v_num = _pipeline_view(
+            both, nr, field, cfg
         )
-        v_side, v_act, v_num = view.extras
-        adj = view.adj_eq
-        act = v_act == 1
-        is_r = act & (v_side == 0)
-        is_s = act & (v_side == 1)
-        prev_side = jnp.concatenate([jnp.zeros(1, jnp.uint32), v_side[:-1]])
         r_first = is_r & ~adj
         s_first = is_s & ~(adj & (prev_side == 1))
         is_start = ~adj
@@ -243,15 +266,19 @@ def make_pipeline_staged(field: int = 1, cfg: EngineConfig = DEFAULT_CONFIG):
         jit_place = jax.jit(
             lambda dest, cnt, *words: place_words_2d(dest, cnt, list(words))
         )
+
+        def place_all(dest, cnt, words):
+            return list(jit_place(dest, cnt, *words))
     else:
-        jit_place = jax.jit(place35)
+        def place_all(dest, cnt, words):
+            return place_grouped(dest, cnt, words)
 
     def run(r: RecordBatch, s: RecordBatch) -> dict:
         nr = r.nrows
         out = jit_a(r, s)
         if cfg.materialize == "sort2d" or use_sort_placement(cfg):
             mj_out = RecordBatch.from_payload_words(
-                list(jit_place(out["dest"], out["cnt"], *r.payload_words()))
+                place_all(out["dest"], out["cnt"], r.payload_words())
             )
         else:
             cnt, (orig_front,) = compact_words(

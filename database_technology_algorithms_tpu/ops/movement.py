@@ -119,6 +119,33 @@ def place35(dest: jax.Array, cnt: jax.Array, *words: jax.Array):
     return tuple(outs)
 
 
+@jax.jit
+def place_group(dest: jax.Array, cnt: jax.Array, *words: jax.Array):
+    """One placement-sort group (<= PLACE_GROUP payload words) as its own
+    jitted program, with live-count zeroing.
+
+    The compile service on the round-2 machine reproducibly WEDGES (>25 min,
+    twice) on the five-sorts-in-one-program form (``place35``) while single
+    smaller programs compile; the grouped form costs 4 extra host dispatches
+    per materialization, which queue asynchronously (~free), and compiles
+    one executable per distinct word count (7-word and tail).
+    """
+    n = dest.shape[0]
+    live = jnp.arange(n, dtype=jnp.int32) < cnt
+    res = jax.lax.sort((dest,) + tuple(words), num_keys=1)
+    return tuple(jnp.where(live, w, 0) for w in res[1:])
+
+
+def place_grouped(
+    dest: jax.Array, cnt: jax.Array, words: list[jax.Array]
+) -> list[jax.Array]:
+    """place35 semantics through per-group jitted programs (see place_group)."""
+    outs: list[jax.Array] = []
+    for base in range(0, len(words), PLACE_GROUP):
+        outs.extend(place_group(dest, cnt, *words[base : base + PLACE_GROUP]))
+    return outs
+
+
 def permute_rows(
     batch: RecordBatch,
     dest: jax.Array,
