@@ -105,7 +105,6 @@ def probe_multiplicity(
     both = RecordBatch.concat([build_uniq, probe])
     n = nb + np_
     idx = jnp.arange(n, dtype=jnp.int32)
-    side = (idx >= nb).astype(jnp.uint32)  # 0 = build, 1 = probe
     probe_active = (
         jnp.ones(n, dtype=bool) if probe_count is None else (idx - nb) < probe_count
     )
@@ -115,13 +114,17 @@ def probe_multiplicity(
         [build_counts.astype(jnp.uint32), jnp.zeros(np_, jnp.uint32)]
     )
 
+    # side rides free on the row-index stability key (build rows occupy
+    # [0, nb) so iota order IS build-before-probe within a key run), and
+    # the sorted original index is just view.perm — 3 fewer sort operands
     view = sort_keys(
         both, field, cfg,
         pre_words=(inactive_w,),
-        post_words=(side,),
-        extra=(side, active.astype(jnp.uint32), counts_w, idx),
+        extra=(active.astype(jnp.uint32), counts_w),
     )
-    s_side, s_act, s_cnt, s_orig = view.extras
+    s_act, s_cnt = view.extras
+    s_side = (view.perm >= nb).astype(jnp.uint32)
+    s_orig = view.perm
     is_start = ~view.adj_eq  # element 0 always True
     # head info packed: bit31 = head is an active build row; low bits = count
     head_is_build = is_start & (s_side == 0) & (s_act == 1)

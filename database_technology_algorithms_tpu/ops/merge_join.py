@@ -47,17 +47,19 @@ def join_view(
     both = RecordBatch.concat([r, s])
     n = both.nrows
     idx = jnp.arange(n, dtype=jnp.int32)
-    side = (idx >= nr).astype(jnp.uint32)  # 0 = R, 1 = S
     active = jnp.where(idx < nr, idx < r_count, (idx - nr) < s_count)
     inactive_w = (~active).astype(jnp.uint32)
 
+    # side is neither a sort word nor payload: the row-index stability key
+    # is monotone in side (R rows occupy [0, nr)), so (inactive, key, iota)
+    # already orders R before S within a key; sorted side = perm >= nr
     view = sort_keys(
         both, field, cfg,
         pre_words=(inactive_w,),
-        post_words=(side,),
-        extra=(side, active.astype(jnp.uint32)),
+        extra=(active.astype(jnp.uint32),),
     )
-    s_side, s_act = view.extras
+    (s_act,) = view.extras
+    s_side = (view.perm >= nr).astype(jnp.uint32)
     eq_next = view.adj_eq[1:]  # sorted row p+1 equals row p
     pair = (
         eq_next
