@@ -19,9 +19,10 @@ Measurement notes (tools/bench_calibrate*.py, PERF_NOTES.md):
     the whole benchmark.  The persistent compile cache makes retries and
     later runs cheap;
   * the headline variant's fenced scalar depends on every materialized
-    join_out column, so the record materialization cannot be DCE'd; two
-    materializer engines (grouped placement sorts vs replicated-key 2-D
-    sort) are raced and the faster one is the headline.
+    join_out column, so the record materialization cannot be DCE'd.  The
+    2-D-sort materializer variant is off by default (measured 5-8x slower,
+    PERF_NOTES.md) but when run ad hoc its output checksum is cross-checked
+    against the placement engine's.
 
 Prints per-op roofline lines (fraction of HBM speed-of-light, the north
 star's >=80% target) on stderr and ONE JSON line on stdout.
@@ -35,7 +36,10 @@ import time
 
 ROWS = 1_000_000
 if "--rows" in sys.argv:  # smoke-testing override (CPU CI)
-    ROWS = int(sys.argv[sys.argv.index("--rows") + 1])
+    _i = sys.argv.index("--rows") + 1
+    if _i >= len(sys.argv):
+        raise SystemExit("--rows requires a value")
+    ROWS = int(sys.argv[_i])
 KEY_RANGE = max(3 * ROWS // 10, 1)
 K = 6  # queued dispatch rounds per steady-state timing
 BASELINE_ROWS_PER_S = 155_700.0  # BASELINE.md MergeJoin pipeline, 1 x86 core
@@ -287,6 +291,17 @@ def parent_main() -> int:
     chks = {m["chk"] for m in mats}
     if len(chks) > 1:
         print(f"# ENGINE MISMATCH between materializers: {chks}", file=sys.stderr)
+        print(
+            json.dumps(
+                {
+                    "metric": "mergejoin_pipeline_rows_per_s_1chip",
+                    "value": 0,
+                    "unit": "rows/s",
+                    "vs_baseline": 0,
+                    "error": "materializer engines disagree",
+                }
+            )
+        )
         return 1
 
     detail = {}

@@ -63,6 +63,9 @@ def _pipeline_view(both: RecordBatch, nr: int, field: int, cfg: EngineConfig):
 
     Returns (view, adj, is_r, is_s, prev_side, v_num).
     """
+    from ..batch import canonical_field
+
+    field = canonical_field(field)
     n = both.nrows
     active = both.valid
     inact = (~active).astype(jnp.uint32)

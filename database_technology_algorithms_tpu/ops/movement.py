@@ -36,10 +36,12 @@ def use_sort_placement(cfg: EngineConfig = DEFAULT_CONFIG) -> bool:
     "gather"— one fused jnp.take (CPU/GPU backends where gathers are fast);
     "auto"  — sort on TPU, gather elsewhere.
     """
-    if cfg.materialize == "sort":
+    if cfg.materialize in ("sort", "sort2d"):
         return True
     if cfg.materialize == "gather":
         return False
+    if cfg.materialize != "auto":
+        raise ValueError(f"unknown materialize engine: {cfg.materialize!r}")
     return jax.default_backend() == "tpu"
 
 

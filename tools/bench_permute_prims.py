@@ -195,18 +195,16 @@ def make_rowmove(load: bool, interpret: bool):
 
 def p45(load: bool):
     x = jax.random.randint(jax.random.PRNGKey(3), (N, W), 0, 1 << 30, dtype=jnp.uint32)
-    # per-tile random permutation slots, flattened; kernel indexes its tile's
-    # slice via the scalar-prefetch ref with absolute offsets
+    # per-tile random permutation slots (tile-RELATIVE offsets), flattened;
+    # each grid step receives its tile's slot block via a (1,T) VMEM
+    # BlockSpec and DMAs it to SMEM for scalar reads
     rng = np.random.default_rng(0)
     slot = np.concatenate(
         [rng.permutation(T) for _ in range(N // T)]
     ).astype(np.int32)
     slot = jnp.asarray(slot)
 
-    f = make_rowmove(load, interpret=CPU)
-
-    def g(x, slot):
-        return f(x, slot)
+    g = make_rowmove(load, interpret=CPU)
 
     name = f"P{'5' if load else '4'} pallas row-{'load' if load else 'store'}"
     if CPU:
@@ -222,7 +220,7 @@ def p45(load: bool):
         ok = bool((out.reshape(N // T, T, W) == ref).all())
         print(f"{name} ok={ok}", flush=True)
         return
-    per, c = timed_steady(lambda x, s: g(x, s), (x, slot))
+    per, c = timed_steady(g, (x, slot))
     report(name, per, f"{per/N*1e9:.1f} ns/row compile={c:.0f}s")
 
 
