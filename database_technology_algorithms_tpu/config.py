@@ -28,7 +28,9 @@ class EngineConfig:
     str_prefix_words: int = 2
     # row-movement engine: "sort" = grouped payload-placement sorts (TPU:
     # beats XLA's ~32 ns/row gather by >10x), "gather" = fused jnp.take
-    # (fast on CPU/GPU), "auto" = sort on TPU, gather elsewhere
+    # (fast on CPU/GPU), "sort2d" = replicated-key 2-D sort (measured 5-8x
+    # slower on this TPU, kept for backends with vectorized batched-column
+    # sorts — PERF_NOTES.md P1), "auto" = sort on TPU, gather elsewhere
     materialize: str = "auto"
 
     # --- hash join ----------------------------------------------------------

@@ -279,7 +279,7 @@ def make_pipeline_staged(field: int = 1, cfg: EngineConfig = DEFAULT_CONFIG):
     def run(r: RecordBatch, s: RecordBatch) -> dict:
         nr = r.nrows
         out = jit_a(r, s)
-        if cfg.materialize == "sort2d" or use_sort_placement(cfg):
+        if use_sort_placement(cfg):
             mj_out = RecordBatch.from_payload_words(
                 place_all(out["dest"], out["cnt"], r.payload_words())
             )

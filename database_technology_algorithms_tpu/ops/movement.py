@@ -162,7 +162,11 @@ def permute_rows(
     """
     words = batch.payload_words()
     if cfg.materialize == "sort2d":
-        placed = list(place_words_2d(dest, None, words))
+        # P1 measurements: per-column sort cost grows with matrix width, so
+        # split the payload into groups of ~4 columns (the measured optimum)
+        placed = list(
+            place_words_2d(dest, None, words, npay=-(-len(words) // 4))
+        )
     else:
         placed = place_words(dest, words)
     out = RecordBatch.from_payload_words(placed)

@@ -13,10 +13,11 @@ bench decides it three ways:
      the op does);
   3. a size sweep (N and 8N): real execution must scale ~linearly.
 """
+import os
 import sys
 import time
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 import jax.numpy as jnp
 

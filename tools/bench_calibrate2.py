@@ -11,10 +11,11 @@ Questions this answers (each drives a concrete engine decision):
   Q4 dispatch floor: N dependent steps inside ONE jit vs N separate calls
      (how bench.py should measure steady-state throughput)
 """
+import os
 import sys
 import time
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 import jax.numpy as jnp
 
@@ -92,4 +93,5 @@ def main():
     print(f"Q4 floor estimate: {(5*t1 - t5)/4*1e3:.2f} ms/call", flush=True)
 
 
-main()
+if __name__ == "__main__":
+    main()

@@ -11,10 +11,11 @@ Methodology (the tunnel makes naive timing lie):
     baseline measured the same way;
   * loop carries data dependencies so iterations cannot fuse or reorder.
 """
+import os
 import sys
 import time
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 import jax.numpy as jnp
 
@@ -128,4 +129,5 @@ def main():
     report("searchsorted 1M into 1M", t, t0, c, None)
 
 
-main()
+if __name__ == "__main__":
+    main()

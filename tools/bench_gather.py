@@ -1,9 +1,10 @@
 #!/usr/bin/env python
 """Compare XLA gather vs the Pallas pipelined row-gather on the chip."""
+import os
 import sys
 import time
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 import jax.numpy as jnp
 
@@ -51,4 +52,5 @@ def main():
     print("match:", bool(jnp.all(a == b)), flush=True)
 
 
-main()
+if __name__ == "__main__":
+    main()

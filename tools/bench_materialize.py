@@ -10,10 +10,11 @@ The engine's one expensive primitive is materializing output rows (full
   D. compaction via lax.sort   sort by (keep ? rank : N), payload chunks of 8
   E. padded-width gather       src padded to 128 lanes, then slice
 """
+import os
 import sys
 import time
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 import jax.numpy as jnp
 
@@ -89,4 +90,5 @@ def main():
     print("compaction matches:", ok, flush=True)
 
 
-main()
+if __name__ == "__main__":
+    main()

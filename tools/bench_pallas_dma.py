@@ -13,10 +13,11 @@ and large-G throughput shows the achievable bandwidth of the pattern.
 Identity offsets keep the copy verifiable; offsets still arrive as runtime
 data (scalar prefetch), so nothing folds statically.
 """
+import os
 import sys
 import time
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -108,4 +109,5 @@ def main():
         )
 
 
-main()
+if __name__ == "__main__":
+    main()

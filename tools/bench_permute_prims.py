@@ -26,9 +26,10 @@ Usage: python tools/bench_permute_prims.py [--cpu] [P1 P4 ...]
 """
 
 import functools
+import os
 import sys
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -248,4 +249,5 @@ def main():
         p45(load=True)
 
 
-main()
+if __name__ == "__main__":
+    main()

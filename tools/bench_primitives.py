@@ -6,8 +6,10 @@ see that module's docstring for why every earlier number was tunnel noise.
 """
 import sys
 
-sys.path.insert(0, "/root/repo")
-sys.path.insert(0, "/root/repo/tools")
+import os
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _ROOT)
+sys.path.insert(0, os.path.join(_ROOT, "tools"))
 import jax
 import jax.numpy as jnp
 
@@ -105,4 +107,5 @@ def main():
     report("rng+histogram-256 .at[].add", hist_step, bytes_moved=N * 4)
 
 
-main()
+if __name__ == "__main__":
+    main()

@@ -4,10 +4,11 @@
 v5e: ~819 GB/s HBM, 197 bf16 TFLOP/s.  If measured numbers beat these,
 the timing harness (not the chip) is lying.
 """
+import os
 import sys
 import time
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 import jax.numpy as jnp
 
@@ -56,4 +57,5 @@ def main():
     timeit("matmul 4096^3 bf16 (137 GFLOP)", lambda x: x @ x, a)
 
 
-main()
+if __name__ == "__main__":
+    main()

@@ -8,10 +8,11 @@ prints each as measured rows/s against the HBM-bandwidth speed-of-light
 model (utils/roofline).  Run with --cpu for a smoke pass.
 """
 
+import os
 import sys
 import time
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
@@ -103,4 +104,5 @@ def main():
     print("\n" + report(results), flush=True)
 
 
-main()
+if __name__ == "__main__":
+    main()
