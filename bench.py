@@ -230,6 +230,10 @@ def child_main(name: str) -> int:
     rec.update(extras())
     rec["platform"] = jax.devices()[0].platform
     rec["device_kind"] = str(getattr(jax.devices()[0], "device_kind", "cpu"))
+    # actual device row footprint: (recid + num + valid-word + K str words)
+    # — narrow-width storage means the engine's minimum traffic is computed
+    # from the bytes it actually must move, not the logical 137 B row
+    rec["row_bytes"] = 4 * (3 + r.str_words)
     print("BENCH_CHILD " + json.dumps(rec))
     return 0
 
@@ -340,7 +344,9 @@ def parent_main() -> int:
             detail[name] = {"error": "failed_or_timeout"}
             continue
         per = rec["per_s"]
-        a = audit(op, ROWS, per, device=dev)
+        a = audit(
+            op, ROWS, per, payload_bytes=rec.get("row_bytes", 137), device=dev
+        )
         detail[name] = {
             "ms": round(per * 1e3, 3),
             "warmup_s": round(rec["warmup_s"], 1),

@@ -11,9 +11,24 @@ Device layout here is a **structure-of-arrays over 32-bit lanes**:
 
     recid : uint32[N]
     num   : uint32[N]
-    strw  : uint32[N, 32]   string bytes packed big-endian, 4 per word,
-                            NUL-normalized, zero-padded 120 -> 128 bytes
+    strw  : uint32[N, K]    string bytes packed big-endian, 4 per word,
+                            NUL-normalized, zero-padded
     valid : bool[N]
+
+**Narrow-width storage (trailing-zero suppression).** K is a static
+per-batch width from ``STR_WIDTH_BUCKETS`` (2..32 words); the logical
+string column is always the 32-word (128-byte) view with words >= K equal
+to zero.  NUL-normalization makes this exact: a fully-zero word can only
+occur after the terminator, so trimming all-zero trailing word columns
+loses nothing, and every comparison/hash/sort on the narrow view equals
+the full-width result.  Ingestion (``from_numpy``) measures the real
+maximum string length and picks the smallest bucket; the reference
+workload's 5-char strings store in K=2 words, so whole-record movement
+(placement sorts, shuffles, spills) touches 3+K = 5 words instead of 35 —
+the same trick as columnar engines' short-string optimization
+(German-style strings), applied to the TPU's sort-based movement engine.
+Batches of different widths interoperate: ``concat`` pads to the max
+width, and width-asymmetric joins hash/compare width-invariantly.
 
 Why words, not bytes: this TPU executes ``lax.sort`` at near-memory speed but
 random gather/scatter at ~0.25 GB/s (measured: 1M-row gather = 32 ms vs
@@ -42,9 +57,42 @@ import jax.numpy as jnp
 import numpy as np
 
 STR_LENGTH = 120  # matches reference STR_LENGTH, dbtproj.h:16
-STR_PAD = 128  # lane-aligned storage width on device (bytes)
-STR_WORDS = STR_PAD // 4  # 32 u32 words per string
+STR_PAD = 128  # lane-aligned logical width (bytes)
+STR_WORDS = STR_PAD // 4  # 32 u32 words per full-width string
 MAX_RECORDS_PER_BLOCK = 100  # dbtproj.h:17
+
+# permitted static strw widths (words).  A small set bounds the number of
+# distinct compiled programs; minimum 2 keeps the default sort prefix
+# (cfg.str_prefix_words = 2) a plain slice for every batch.
+STR_WIDTH_BUCKETS = (2, 4, 8, 16, 32)
+
+
+def bucket_str_words(nwords: int) -> int:
+    """Smallest permitted static width covering `nwords` live words."""
+    for b in STR_WIDTH_BUCKETS:
+        if b >= nwords:
+            return b
+    return STR_WORDS
+
+
+def narrow_str_bytes(strs: np.ndarray) -> np.ndarray:
+    """Trim a host byte matrix to the smallest covering bucket width.
+
+    Returns uint8[N, 4K] with K from STR_WIDTH_BUCKETS; only all-zero
+    trailing columns are dropped (exact under NUL-normalization).
+    """
+    strs = np.ascontiguousarray(strs, dtype=np.uint8)
+    n = strs.shape[0]
+    nz = np.flatnonzero(strs.any(axis=0)) if n else np.array([], np.int64)
+    live_bytes = int(nz[-1]) + 1 if nz.size else 0
+    width = 4 * bucket_str_words(-(-live_bytes // 4))
+    if strs.shape[1] == width:
+        return strs
+    if strs.shape[1] > width:
+        return strs[:, :width]
+    out = np.zeros((n, width), dtype=np.uint8)
+    out[:, : strs.shape[1]] = strs
+    return out
 
 # Field selectors. The reference API takes *char* field codes '0'..'3'
 # (main.cpp:114,121 pass char literals despite the docs saying int). We accept
@@ -76,25 +124,31 @@ def pack_str_bytes(strs_u8: np.ndarray) -> np.ndarray:
 
 
 def unpack_str_words(strw: np.ndarray) -> np.ndarray:
-    """Host: uint32[N,32] -> uint8[N,128]."""
-    return np.ascontiguousarray(strw, dtype=np.uint32).astype(">u4").view(np.uint8).reshape(-1, STR_PAD)
+    """Host: uint32[N,K] -> uint8[N,4K]."""
+    k = strw.shape[1]
+    return (
+        np.ascontiguousarray(strw, dtype=np.uint32)
+        .astype(">u4")
+        .view(np.uint8)
+        .reshape(-1, 4 * k)
+    )
 
 
 def pack_str_words_device(strs_u8: jax.Array) -> jax.Array:
-    """Device: uint8[N,128] -> big-endian uint32[N,32]."""
-    n = strs_u8.shape[0]
-    b = strs_u8.astype(jnp.uint32).reshape(n, STR_WORDS, 4)
+    """Device: uint8[N,4K] -> big-endian uint32[N,K]."""
+    n, nbytes = strs_u8.shape
+    b = strs_u8.astype(jnp.uint32).reshape(n, nbytes // 4, 4)
     return (b[..., 0] << 24) | (b[..., 1] << 16) | (b[..., 2] << 8) | b[..., 3]
 
 
 def unpack_str_words_device(strw: jax.Array) -> jax.Array:
-    """Device: uint32[N,32] -> uint8[N,128]."""
-    n = strw.shape[0]
+    """Device: uint32[N,K] -> uint8[N,4K]."""
+    n, k = strw.shape
     b = jnp.stack(
         [(strw >> 24) & 0xFF, (strw >> 16) & 0xFF, (strw >> 8) & 0xFF, strw & 0xFF],
         axis=-1,
     )
-    return b.astype(jnp.uint8).reshape(n, STR_PAD)
+    return b.astype(jnp.uint8).reshape(n, 4 * k)
 
 
 @jax.tree_util.register_dataclass
@@ -103,29 +157,51 @@ class RecordBatch:
     """A columnar batch of records (SoA pytree). All columns share length N."""
 
     recid: jax.Array  # uint32[N]
-    num: jax.Array  # uint32[N]
-    strw: jax.Array  # uint32[N, STR_WORDS], big-endian packed, NUL-normalized
+    num: jax.Array  # uint32[N, ]
+    strw: jax.Array  # uint32[N, K<=STR_WORDS], big-endian packed, NUL-normalized
     valid: jax.Array  # bool[N]
 
     @property
     def nrows(self) -> int:
         return self.recid.shape[0]
 
+    @property
+    def str_words(self) -> int:
+        """Static width K of the string column (words >= K are logically 0)."""
+        return self.strw.shape[1]
+
     def __len__(self) -> int:
         return self.nrows
 
+    def pad_str_words(self, k: int) -> "RecordBatch":
+        """Widen the string column to k words (zero-pad; no-op if already >=)."""
+        cur = self.str_words
+        if cur >= k:
+            return self
+        pad = jnp.zeros((self.nrows, k - cur), dtype=jnp.uint32)
+        return RecordBatch(
+            recid=self.recid,
+            num=self.num,
+            strw=jnp.concatenate([self.strw, pad], axis=1),
+            valid=self.valid,
+        )
+
     def payload_words(self) -> list[jax.Array]:
-        """Every column as u32 sort operands (the movement representation)."""
+        """Every live column as u32 sort operands (the movement form).
+
+        3 + K words: the narrow-width invariant means words >= K need not
+        move — they are reconstructed as zeros by ``from_payload_words``.
+        """
         return [
             self.recid,
             self.num,
             self.valid.astype(jnp.uint32),
-        ] + [self.strw[:, j] for j in range(STR_WORDS)]
+        ] + [self.strw[:, j] for j in range(self.str_words)]
 
     @staticmethod
     def from_payload_words(words: list[jax.Array]) -> "RecordBatch":
         recid, num, valid = words[0], words[1], words[2]
-        strw = jnp.stack(words[3 : 3 + STR_WORDS], axis=1)
+        strw = jnp.stack(words[3:], axis=1)
         return RecordBatch(
             recid=recid, num=num, strw=strw, valid=valid.astype(bool)
         )
@@ -160,6 +236,8 @@ class RecordBatch:
 
     @staticmethod
     def concat(batches: list["RecordBatch"]) -> "RecordBatch":
+        k = max(b.str_words for b in batches)
+        batches = [b.pad_str_words(k) for b in batches]
         return RecordBatch(
             recid=jnp.concatenate([b.recid for b in batches]),
             num=jnp.concatenate([b.num for b in batches]),
@@ -176,17 +254,30 @@ class RecordBatch:
         strs: Optional[np.ndarray] = None,
         valid: Optional[np.ndarray] = None,
         normalize: bool = True,
+        str_words: Optional[int] = None,
     ) -> "RecordBatch":
-        """Build a batch from host arrays. `strs` is uint8[N, <=128] bytes."""
+        """Build a batch from host arrays. `strs` is uint8[N, <=128] bytes.
+
+        The stored width is the smallest ``STR_WIDTH_BUCKETS`` entry
+        covering the longest actual string (trailing-zero suppression —
+        exact, see module docstring); pass ``str_words`` to force a width
+        (e.g. for multi-host paths that need a pre-agreed global shape).
+        """
         n = recid.shape[0]
         if strs is None:
-            strs = np.zeros((n, STR_PAD), dtype=np.uint8)
-        if strs.shape[1] < STR_PAD:
-            padded = np.zeros((n, STR_PAD), dtype=np.uint8)
-            padded[:, : strs.shape[1]] = strs
-            strs = padded
+            strs = np.zeros((n, 8), dtype=np.uint8)
+        strs = np.ascontiguousarray(strs, dtype=np.uint8)
         if normalize:
             strs = normalize_str_bytes(strs)
+        if str_words is None:
+            strs = narrow_str_bytes(strs)
+        else:
+            width = 4 * str_words
+            if strs.shape[1] != width:
+                sized = np.zeros((n, width), dtype=np.uint8)
+                keep = min(width, strs.shape[1])
+                sized[:, :keep] = strs[:, :keep]
+                strs = sized
         if valid is None:
             valid = np.ones(n, dtype=bool)
         return RecordBatch(
@@ -198,10 +289,13 @@ class RecordBatch:
 
     def to_numpy(self) -> dict:
         """Host columns with the byte-view string column (`strs` u8[N,128])."""
+        narrow = unpack_str_words(np.asarray(self.strw))
+        strs = np.zeros((self.nrows, STR_PAD), dtype=np.uint8)
+        strs[:, : narrow.shape[1]] = narrow
         return {
             "recid": np.asarray(self.recid),
             "num": np.asarray(self.num),
-            "strs": unpack_str_words(np.asarray(self.strw)),
+            "strs": strs,
             "valid": np.asarray(self.valid),
         }
 

@@ -50,9 +50,17 @@ from .ops.sort import sort_batch
 
 
 def _np_key_words(cols: dict, field) -> np.ndarray:
-    """Host-side (nrows, nwords) uint32 key-word matrix (same order as device)."""
+    """Host-side (nrows, nwords) uint32 key-word matrix (same order as device).
+
+    Width is pinned to the full STR_WORDS so key matrices from different
+    segments/chunks (which may store different narrow widths) concatenate
+    and compare uniformly.
+    """
+    from .batch import STR_WORDS
+
     batch = RecordBatch.from_numpy(
-        cols["recid"], cols["num"], cols["strs"], cols.get("valid"), normalize=False
+        cols["recid"], cols["num"], cols["strs"], cols.get("valid"),
+        normalize=False, str_words=STR_WORDS,
     )
     words = key_words(batch, field, nwords=None)
     return np.stack([np.asarray(w) for w in words], axis=1)
@@ -220,69 +228,119 @@ def external_sort(
         seg_cols.append(cols)
         seg_keys.append(keys)
 
-    prev_rows = None
     prev_keyvec = None
-    bounds = [None] + [splitters[i] for i in range(len(splitters))] + [None]
-    cursors = [0] * nseg
-    for r in range(len(bounds) - 1):
-        hi = bounds[r + 1]
-        parts = []
-        range_bytes = 0
-        for i in range(nseg):
-            lo_idx = cursors[i]
-            hi_idx = (
-                len(seg_keys[i])
-                if hi is None
-                else _searchsorted_rows(seg_keys[i], hi, "right")
-            )
-            if hi_idx > lo_idx:
-                part = {
-                    k: np.array(v[lo_idx:hi_idx]) for k, v in seg_cols[i].items()
-                }
-                range_bytes += sum(v.nbytes for v in part.values())
-                parts.append(part)
-            cursors[i] = hi_idx
-        stats.bytes_host += range_bytes
-        stats.peak_range_rows = max(
-            stats.peak_range_rows, sum(len(p["recid"]) for p in parts)
-        )
-        if not parts:
+
+    def emit(oc):
+        """Seam-dedup (for distinct) + account + yield one output chunk."""
+        nonlocal prev_keyvec
+        if distinct:
+            oc = _distinct_chunk(oc, field, cfg)
+            if prev_keyvec is not None and len(oc["recid"]):
+                first = _np_key_words(
+                    {k: v[:1] for k, v in oc.items()}, field
+                )[0]
+                if tuple(first) == tuple(prev_keyvec):
+                    oc = {k: v[1:] for k, v in oc.items()}
+        if len(oc["recid"]) == 0:
+            return None
+        prev_keyvec = _np_key_words(
+            {k: v[-1:] for k, v in oc.items()}, field
+        )[0]
+        stats.rows_out += len(oc["recid"])
+        return oc
+
+    # ranges as per-segment [lo, hi) index windows; a worklist processes them
+    # in key order, RE-SPLITTING any range that exceeds the budget by its own
+    # spilled keys (splitter-sample misses — e.g. duplicate-heavy samples
+    # collapsing adjacent splitters — must not break the nmem_blocks-style
+    # bounded-buffer contract, DatabaseProject.cpp:245-369, nor global order:
+    # round 2 sorted oversized ranges in independent sub-chunks under a
+    # single-hot-key assumption, which emits unsorted output when the range
+    # holds many distinct keys).
+    def initial_ranges():
+        cursors = [0] * nseg
+        out = []
+        for hi in list(splitters) + [None]:
+            slices = []
+            for i in range(nseg):
+                lo_idx = cursors[i]
+                hi_idx = (
+                    len(seg_keys[i])
+                    if hi is None
+                    else _searchsorted_rows(seg_keys[i], hi, "right")
+                )
+                slices.append((lo_idx, hi_idx))
+                cursors[i] = hi_idx
+            out.append(slices)
+        return out
+
+    stack = list(reversed(initial_ranges()))
+    while stack:
+        slices = stack.pop()
+        total = sum(hi - lo for lo, hi in slices)
+        if total == 0:
             continue
-        merged = {
-            k: np.concatenate([p[k] for p in parts]) for k in parts[0]
-        }
-        del parts
-        n = len(merged["recid"])
-        # oversized range (heavy key skew): sort in sub-chunks; a range this
-        # hot is dominated by one key, whose duplicates are already in
-        # global stream order across segments, so key-major order holds.
-        out_chunks = []
-        for s in range(0, n, mem_rows):
-            sub = {k: v[s : s + mem_rows] for k, v in merged.items()}
+        if total <= mem_rows:
+            parts = []
+            for i, (lo, hi) in enumerate(slices):
+                if hi > lo:
+                    part = {
+                        k: np.array(v[lo:hi]) for k, v in seg_cols[i].items()
+                    }
+                    stats.bytes_host += sum(v.nbytes for v in part.values())
+                    parts.append(part)
+            stats.peak_range_rows = max(stats.peak_range_rows, total)
+            merged = {k: np.concatenate([p[k] for p in parts]) for k in parts[0]}
+            del parts
             batch = RecordBatch.from_numpy(
-                sub["recid"], sub["num"], sub["strs"], sub.get("valid"),
-                normalize=False,
+                merged["recid"], merged["num"], merged["strs"],
+                merged.get("valid"), normalize=False,
             )
             sorted_b, _ = sort_batch(batch, field, cfg)
-            out_chunks.append(sorted_b.to_numpy())
-            stats.bytes_hbm += 2 * sum(v.nbytes for v in sub.values())
-        for oc in out_chunks:
-            if distinct:
-                oc = _distinct_chunk(oc, field, cfg)
-                # cross-chunk dedup at the seam
-                if prev_keyvec is not None and len(oc["recid"]):
-                    first = _np_key_words(
-                        {k: v[:1] for k, v in oc.items()}, field
-                    )[0]
-                    if tuple(first) == tuple(prev_keyvec):
-                        oc = {k: v[1:] for k, v in oc.items()}
-            if len(oc["recid"]) == 0:
-                continue
-            prev_keyvec = _np_key_words(
-                {k: v[-1:] for k, v in oc.items()}, field
-            )[0]
-            stats.rows_out += len(oc["recid"])
-            yield oc
+            stats.bytes_hbm += 2 * sum(v.nbytes for v in merged.values())
+            oc = emit(sorted_b.to_numpy())
+            if oc is not None:
+                yield oc
+            continue
+        # oversized range: all-equal keys cannot be split — but then every
+        # row order is key-major order; stream bounded sub-slices directly
+        live = [
+            (i, lo, hi) for i, (lo, hi) in enumerate(slices) if hi > lo
+        ]
+        lo_key = min(tuple(seg_keys[i][lo]) for i, lo, _ in live)
+        hi_key = max(tuple(seg_keys[i][hi - 1]) for i, _, hi in live)
+        if lo_key == hi_key:
+            for i, lo, hi in live:
+                for s in range(lo, hi, mem_rows):
+                    e = min(s + mem_rows, hi)
+                    sub = {
+                        k: np.array(v[s:e]) for k, v in seg_cols[i].items()
+                    }
+                    stats.bytes_host += sum(v.nbytes for v in sub.values())
+                    stats.peak_range_rows = max(stats.peak_range_rows, e - s)
+                    oc = emit(sub)  # equal keys: already key-major order
+                    if oc is not None:
+                        yield oc
+            continue
+        # re-split at the range's own median key (sampled from the spilled
+        # sorted key columns; memmap reads only)
+        samp = []
+        for i, lo, hi in live:
+            stride = max((hi - lo) // 64, 1)
+            samp.append(np.array(seg_keys[i][lo:hi:stride]))
+        sample_r = np.concatenate(samp, axis=0)
+        order_r = np.lexsort(sample_r.T[::-1])
+        med = sample_r[order_r[len(order_r) // 2]]
+        side = "right" if tuple(med) == lo_key else "left"
+        left, right = [], []
+        for i, (lo, hi) in enumerate(slices):
+            mid = lo + _searchsorted_rows(seg_keys[i][lo:hi], med, side)
+            left.append((lo, mid))
+            right.append((mid, hi))
+        # both halves are strictly smaller: the range has >1 distinct key, so
+        # splitting at (or right of) a present key leaves neither side empty
+        stack.append(right)
+        stack.append(left)
 
     stats.npasses = 2
     stats.wall_s = t.stop()

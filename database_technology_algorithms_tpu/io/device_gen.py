@@ -16,8 +16,8 @@ import jax.numpy as jnp
 
 from ..batch import (
     MAX_RECORDS_PER_BLOCK,
-    STR_PAD,
     RecordBatch,
+    bucket_str_words,
     pack_str_words_device,
 )
 
@@ -41,12 +41,16 @@ def generate_device_batch(
     else:
         num = jax.random.randint(k_num, (n,), 0, key_range, dtype=jnp.uint32)
 
+    # narrow-width storage: the strings are str_len chars, so the batch
+    # stores only the covering width bucket (batch.py trailing-zero
+    # suppression) — whole-record movement then touches 3+K words, not 35
+    width_bytes = 4 * bucket_str_words(-(-str_len // 4))
     letters = jax.random.randint(
         k_str, (n, str_len), 0, 26, dtype=jnp.uint8
     ) + jnp.uint8(ord("a"))
-    strs = jnp.zeros((n, STR_PAD), dtype=jnp.uint8).at[:, :str_len].set(letters)
+    strs = jnp.zeros((n, width_bytes), dtype=jnp.uint8).at[:, :str_len].set(letters)
     # plant "Hola" at row 1 of every 100-row "block" (main.cpp:57-61)
-    hola = jnp.zeros((STR_PAD,), dtype=jnp.uint8).at[:4].set(
+    hola = jnp.zeros((width_bytes,), dtype=jnp.uint8).at[:4].set(
         jnp.array([72, 111, 108, 97], dtype=jnp.uint8)
     )
     is_hola = (jnp.arange(n) % MAX_RECORDS_PER_BLOCK) == 1

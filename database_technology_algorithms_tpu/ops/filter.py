@@ -93,7 +93,12 @@ def pred_str_eq(s: bytes) -> Predicate:
     const_w = pack_str_bytes(const)[0]
 
     def f(b: RecordBatch) -> jax.Array:
-        return jnp.all(b.strw == jnp.asarray(const_w), axis=-1)
+        k = b.str_words
+        if np.any(const_w[k:]):
+            # the constant extends past the batch's stored width, where
+            # every string is zero — nothing can match
+            return jnp.zeros(b.nrows, dtype=bool)
+        return jnp.all(b.strw == jnp.asarray(const_w[:k]), axis=-1)
 
     return f
 

@@ -43,13 +43,17 @@ def str_key_words(strw: jax.Array, nwords: int) -> list[jax.Array]:
 
 
 def key_words(batch: RecordBatch, field, nwords: int | None = None) -> list[jax.Array]:
-    """Key word list for `field`. nwords limits string words (None = exact 32)."""
+    """Key word list for `field`. nwords limits string words (None = exact).
+
+    The batch's static width caps the list either way: words beyond it are
+    zero by the narrow-width invariant, so omitting them is exact.
+    """
     field = canonical_field(field)
     if field == FIELD_RECID:
         return [batch.recid]
     if field == FIELD_NUM:
         return [batch.num]
-    sw = STR_WORDS if nwords is None else nwords
+    sw = batch.str_words if nwords is None else min(nwords, batch.str_words)
     if field == FIELD_STR:
         return str_key_words(batch.strw, sw)
     if field == FIELD_NUMSTR:
@@ -103,19 +107,29 @@ _FNV_PRIME = np.uint32(16777619)
 _FNV_BASIS = np.uint32(2166136261)
 
 
-def hash_words(words: list[jax.Array], seed: int = 0) -> jax.Array:
+def hash_words(
+    words: list[jax.Array], seed: int = 0, skip_zero_tail: bool = False
+) -> jax.Array:
     """FNV-1a-style u32 hash over key words, with a final avalanche mix.
 
     Used by the hash join and the hash-partitioned shuffle.  Deterministic
     across chips (pure integer ops) so partitioning is reproducible.
+
+    ``skip_zero_tail`` makes the hash **storage-width invariant** for
+    NUL-normalized string words: a fully-zero word can only occur after the
+    terminator (mid-string words always contain a nonzero byte), so zero
+    words are exactly the trailing padding and skipping them yields the
+    same hash whether a key is stored in 2 or 32 words.  Required whenever
+    the two sides of a join may carry different static widths.
     """
     h = _FNV_BASIS ^ jnp.uint32(seed * 0x9E3779B9)
     for w in words:
         w = w.astype(jnp.uint32)
-        h = (h ^ (w & 0xFF)) * _FNV_PRIME
-        h = (h ^ ((w >> 8) & 0xFF)) * _FNV_PRIME
-        h = (h ^ ((w >> 16) & 0xFF)) * _FNV_PRIME
-        h = (h ^ (w >> 24)) * _FNV_PRIME
+        hw = (h ^ (w & 0xFF)) * _FNV_PRIME
+        hw = (hw ^ ((w >> 8) & 0xFF)) * _FNV_PRIME
+        hw = (hw ^ ((w >> 16) & 0xFF)) * _FNV_PRIME
+        hw = (hw ^ (w >> 24)) * _FNV_PRIME
+        h = jnp.where(w == 0, h, hw) if skip_zero_tail else hw
     # murmur3 finalizer for avalanche
     h = h ^ (h >> 16)
     h = h * jnp.uint32(0x85EBCA6B)
@@ -126,5 +140,9 @@ def hash_words(words: list[jax.Array], seed: int = 0) -> jax.Array:
 
 
 def key_hash(batch: RecordBatch, field, seed: int = 0) -> jax.Array:
-    """u32 hash of each row's full-width key."""
-    return hash_words(key_words(batch, field, nwords=None), seed=seed)
+    """u32 hash of each row's full key, invariant to the stored strw width."""
+    return hash_words(
+        key_words(batch, field, nwords=None),
+        seed=seed,
+        skip_zero_tail=uses_strings(field),
+    )

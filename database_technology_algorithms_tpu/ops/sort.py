@@ -37,7 +37,7 @@ import jax.numpy as jnp
 from ..batch import RecordBatch, canonical_field
 from ..config import DEFAULT_CONFIG, EngineConfig
 from ._jit import per_static_jit
-from .keys import STR_WORDS, key_words, rows_equal_on_field, uses_strings
+from .keys import key_words, rows_equal_on_field, uses_strings
 
 
 @dataclasses.dataclass
@@ -82,8 +82,9 @@ def _lsd_exact_string_perm(
     # least-significant first: post words
     for w in reversed([w.astype(jnp.uint32) for w in post_words]):
         perm = stable_pass(perm, [w])
-    # string words, two at a time, from the last pair up
-    for j in range(STR_WORDS - 2, -2, -2):
+    # string words (the batch's static width; widths are even), two at a
+    # time, from the last pair up
+    for j in range(batch.str_words - 2, -2, -2):
         lo = max(j, 0)
         perm = stable_pass(perm, [batch.strw[:, k] for k in range(lo, j + 2)])
     # num word for field 3
@@ -134,7 +135,7 @@ def sort_keys(
         skw = out[len(pre) : len(pre) + len(kw)]
         return finish(out[nk - 1], skw, tuple(out[nk:]))
 
-    pw = min(cfg.str_prefix_words, STR_WORDS)
+    pw = min(cfg.str_prefix_words, batch.str_words)
     prefix = key_words(batch, field, pw)
     ops = tuple(pre) + tuple(prefix) + tuple(post) + (iota,) + extra
     nk = len(pre) + len(prefix) + len(post) + 1

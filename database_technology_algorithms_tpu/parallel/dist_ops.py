@@ -80,13 +80,17 @@ def distribute(mesh: Mesh, cols: dict, rows_per_chip: int | None = None) -> Dist
             off += c
         return out
 
-    from ..batch import pack_str_bytes
+    from ..batch import narrow_str_bytes, pack_str_bytes
+
+    # narrow-width storage: the host sees the whole table here, so the
+    # smallest covering width bucket is globally uniform across chips
+    strs = narrow_str_bytes(np.asarray(cols["strs"], np.uint8))
 
     row = NamedSharding(mesh, P(mesh.axis_names))
     batch = RecordBatch(
         recid=jax.device_put(pad(np.asarray(cols["recid"], np.uint32)), row),
         num=jax.device_put(pad(np.asarray(cols["num"], np.uint32)), row),
-        strw=jax.device_put(pad(pack_str_bytes(np.asarray(cols["strs"], np.uint8))), row),
+        strw=jax.device_put(pad(pack_str_bytes(strs)), row),
         valid=jax.device_put(pad(np.asarray(cols.get("valid")
             if cols.get("valid") is not None else np.ones(n, bool))), row),
     )
@@ -116,11 +120,13 @@ def _shuffle_cap(per_chip_rows: int, ndev: int, cfg: EngineConfig) -> int:
     return min(cap, max(per_chip_rows, 1))
 
 
-# device row footprint: recid(4) + num(4) + strw(128) + valid(1)
-ROW_BYTES = 137
+def row_bytes(batch: RecordBatch) -> int:
+    """Device row footprint at the batch's stored width:
+    recid(4) + num(4) + strw(4K) + valid(1)."""
+    return 9 + 4 * batch.str_words
 
 
-def _account_shuffle(stats, mesh: Mesh, rows: int) -> None:
+def _account_shuffle(stats, mesh: Mesh, rows: int, nbytes_row: int = 137) -> None:
     """Record exchange traffic in the nios-heir counters (metrics.py).
 
     Model: every live row crosses the chip boundary once per shuffle
@@ -131,7 +137,7 @@ def _account_shuffle(stats, mesh: Mesh, rows: int) -> None:
     """
     if stats is None:
         return
-    b = int(rows) * ROW_BYTES
+    b = int(rows) * nbytes_row
     stats.bytes_ici += b
     if "host" in mesh.axis_names:
         stats.bytes_dcn += b
@@ -202,7 +208,7 @@ def dist_distinct(
     if stats is not None:
         stats.rows_in += per * ndev
         stats.nunique = int(nunique)
-        _account_shuffle(stats, mesh, per * ndev)
+        _account_shuffle(stats, mesh, per * ndev, row_bytes(table.batch))
     return DistTable(batch=out, count=counts), nunique, ovf
 
 
@@ -263,7 +269,10 @@ def dist_hash_join(
         stats.rows_in += (build.rows_per_chip + probe.rows_per_chip) * ndev
         stats.nres = int(nres)
         _account_shuffle(
-            stats, mesh, (build.rows_per_chip + probe.rows_per_chip) * ndev
+            stats, mesh, build.rows_per_chip * ndev, row_bytes(build.batch)
+        )
+        _account_shuffle(
+            stats, mesh, probe.rows_per_chip * ndev, row_bytes(probe.batch)
         )
     return DistTable(batch=out, count=counts), nres, ovf
 
@@ -303,7 +312,7 @@ def dist_aggregate(
     )
     if stats is not None:
         stats.rows_in += per * ndev
-        _account_shuffle(stats, mesh, per * ndev)
+        _account_shuffle(stats, mesh, per * ndev, row_bytes(table.batch))
     return DistTable(batch=reps, count=counts), aggs, ovf
 
 
@@ -395,5 +404,5 @@ def dist_sort(
     )
     if stats is not None:
         stats.rows_in += per * ndev
-        _account_shuffle(stats, mesh, per * ndev)
+        _account_shuffle(stats, mesh, per * ndev, row_bytes(table.batch))
     return DistTable(batch=out, count=counts), ovf

@@ -80,10 +80,16 @@ def pad_columns(cols: dict, ndev: int, per: int) -> tuple[dict, np.ndarray]:
     valid = cols.get("valid")
     if valid is None:
         valid = np.ones(n, dtype=bool)
+    # narrow-width storage: width derives from the (identical-on-every-
+    # process) column content, so the global array shape is agreed without
+    # any extra cross-host negotiation
+    from ..batch import narrow_str_bytes
+
+    strs = narrow_str_bytes(np.asarray(cols["strs"], np.uint8))
     padded = {
         "recid": pad(np.asarray(cols["recid"], np.uint32)),
         "num": pad(np.asarray(cols["num"], np.uint32)),
-        "strw": pad(pack_str_bytes(np.asarray(cols["strs"], np.uint8))),
+        "strw": pad(pack_str_bytes(strs)),
         "valid": pad(np.asarray(valid, bool)),
     }
     return padded, counts

@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..batch import STR_WORDS, RecordBatch
+from ..batch import STR_WIDTH_BUCKETS, RecordBatch
 
 
 def check_batch(batch: RecordBatch, count=None) -> list[str]:
@@ -32,8 +32,15 @@ def check_batch(batch: RecordBatch, count=None) -> list[str]:
     n = batch.nrows
     if batch.num.shape != (n,):
         problems.append(f"num shape {batch.num.shape} != ({n},)")
-    if batch.strw.shape != (n, STR_WORDS):
-        problems.append(f"strw shape {batch.strw.shape} != ({n}, {STR_WORDS})")
+    if (
+        batch.strw.ndim != 2
+        or batch.strw.shape[0] != n
+        or batch.strw.shape[1] not in STR_WIDTH_BUCKETS
+    ):
+        problems.append(
+            f"strw shape {batch.strw.shape} != ({n}, K) for K in "
+            f"{STR_WIDTH_BUCKETS}"
+        )
     if batch.valid.shape != (n,):
         problems.append(f"valid shape {batch.valid.shape} != ({n},)")
     for name, col, want in (

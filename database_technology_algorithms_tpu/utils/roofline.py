@@ -71,9 +71,11 @@ def min_bytes(op: str, rows: int, payload_bytes: int = ROW_BYTES_FULL) -> int:
     if op in ("filter", "compact", "scan"):
         return 2 * rows * payload_bytes
     if op in ("sort", "sort_batch"):
-        # key sort (read+write key+idx once per radix pass: 4 passes u32)
-        # + one full-record permute gather (read + write)
-        return 4 * 2 * rows * ROW_BYTES_KEY + 2 * rows * payload_bytes
+        # true minimum: one read+write of (key, index) to produce the
+        # permutation + one read+write of the payload to apply it.  (The
+        # round-2 model charged 4 radix passes — an algorithm the engine
+        # doesn't run; minimum-traffic models must not inflate the floor.)
+        return 2 * rows * ROW_BYTES_KEY + 2 * rows * payload_bytes
     if op in ("distinct",):
         return min_bytes("sort", rows, payload_bytes) + 2 * rows * payload_bytes
     if op in ("hash_join", "hash_join_count"):

@@ -81,5 +81,36 @@ def test_batch_take_and_concat():
     assert int(t.recid[0]) == 5 and int(t.recid[2]) == 99
     c = RecordBatch.concat([b, t])
     assert c.nrows == 103
-    assert c.strw.shape == (103, STR_PAD // 4)
+    # narrow-width storage: 5-char strings live in the smallest bucket,
+    # and the host view is always the full logical 128 bytes
+    from database_technology_algorithms_tpu.batch import STR_WIDTH_BUCKETS
+
+    assert c.strw.shape[1] in STR_WIDTH_BUCKETS
+    assert c.strw.shape == (103, 2)
     assert c.to_numpy()["strs"].shape == (103, STR_PAD)
+
+
+def test_narrow_width_mixed_concat_and_pad():
+    # batches of different static widths interoperate: concat pads, and the
+    # logical byte view is identical to full-width storage
+    from database_technology_algorithms_tpu.batch import STR_WORDS
+
+    cols = generate_columns(nblocks=1, seed=1)
+    narrow = RecordBatch.from_numpy(cols["recid"], cols["num"], cols["strs"])
+    wide = RecordBatch.from_numpy(
+        cols["recid"], cols["num"], cols["strs"], str_words=STR_WORDS
+    )
+    assert narrow.str_words == 2 and wide.str_words == STR_WORDS
+    both = RecordBatch.concat([narrow, wide])
+    assert both.str_words == STR_WORDS
+    nv, wv = narrow.to_numpy()["strs"], wide.to_numpy()["strs"]
+    np.testing.assert_array_equal(nv, wv)
+    np.testing.assert_array_equal(both.to_numpy()["strs"][: len(nv)], nv)
+    # long strings pick a covering bucket and round-trip exactly
+    longs = np.zeros((4, 128), np.uint8)
+    longs[:, :50] = np.arange(1, 51, dtype=np.uint8)[None, :]
+    lb = RecordBatch.from_numpy(
+        np.arange(4, dtype=np.uint32), np.arange(4, dtype=np.uint32), longs
+    )
+    assert lb.str_words == 16
+    np.testing.assert_array_equal(lb.to_numpy()["strs"][:, :128], longs)

@@ -10,12 +10,17 @@ that writes each VMEM tile back to HBM in G-row chunks at prefetched
 dynamic offsets, for varying G — the slope vs 1/G gives the per-DMA cost,
 and large-G throughput shows the achievable bandwidth of the pattern.
 
+Layout note (measured on this image's Mosaic): a [N, W] i32 HBM array is
+physically lane-tiled to (1, 128), so a W=36 view is misaligned (compile
+error on slices) and would pay a 128/W bandwidth tax anyway.  Rows
+therefore live FLAT: a "row" is 32 contiguous u32 (128 B) of a 1-D array,
+and every slice/offset is a multiple of 128 words.
+
 Identity offsets keep the copy verifiable; offsets still arrive as runtime
 data (scalar prefetch), so nothing folds statically.
 """
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
@@ -26,8 +31,8 @@ from jax.experimental.pallas import tpu as pltpu
 from database_technology_algorithms_tpu.utils.cache import enable_persistent_cache
 from database_technology_algorithms_tpu.utils.profiling import timed_steady
 
-N = 1 << 20
-W = 36
+N = 1 << 20  # rows
+W = 32  # u32 words per row (one 128-B row)
 T = 2048  # rows per tile
 
 
@@ -37,7 +42,7 @@ def make_kernel(G: int, interpret: bool = False):
     def kernel(starts_ref, in_hbm, out_hbm, scratch, in_sem, out_sems):
         t = pl.program_id(0)
         load = pltpu.make_async_copy(
-            in_hbm.at[pl.ds(t * T, T)], scratch, in_sem
+            in_hbm.at[pl.ds(t * T * W, T * W)], scratch, in_sem
         )
         load.start()
         load.wait()
@@ -45,8 +50,8 @@ def make_kernel(G: int, interpret: bool = False):
 
         def chunk_copy(j):
             return pltpu.make_async_copy(
-                scratch.at[pl.ds(j * G, G)],
-                out_hbm.at[pl.ds(base + j * G, G)],
+                scratch.at[pl.ds(j * G * W, G * W)],
+                out_hbm.at[pl.ds((base + j * G) * W, G * W)],
                 out_sems.at[j % 8],
             )
 
@@ -62,15 +67,15 @@ def make_kernel(G: int, interpret: bool = False):
             grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=1,
                 grid=(N // T,),
-                in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
-                out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+                in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+                out_specs=pl.BlockSpec(memory_space=pl.ANY),
                 scratch_shapes=[
-                    pltpu.VMEM((T, W), jnp.uint32),
+                    pltpu.VMEM((T * W,), jnp.uint32),
                     pltpu.SemaphoreType.DMA,
                     pltpu.SemaphoreType.DMA((8,)),
                 ],
             ),
-            out_shape=jax.ShapeDtypeStruct((N, W), jnp.uint32),
+            out_shape=jax.ShapeDtypeStruct((N * W,), jnp.uint32),
             interpret=interpret,
         )(starts, x)
 
@@ -78,28 +83,37 @@ def make_kernel(G: int, interpret: bool = False):
 
 
 def main():
+    global N
     interpret = "--cpu" in sys.argv
     if interpret:
         jax.config.update("jax_platforms", "cpu")
-        global N
         N = 1 << 14
     enable_persistent_cache(tag="cpu" if interpret else "tpu")
-    x = jax.random.randint(jax.random.PRNGKey(0), (N, W), 0, 1 << 30, dtype=jnp.uint32)
-    starts = (jnp.arange(N // T, dtype=jnp.int32) * T)
+    x = jax.random.randint(
+        jax.random.PRNGKey(0), (N * W,), 0, 1 << 30, dtype=jnp.uint32
+    )
+    starts = jnp.arange(N // T, dtype=jnp.int32) * T
     jax.block_until_ready((x, starts))
-    print(f"device: {jax.devices()[0]}  N={N} T={T}", flush=True)
+    print(f"device: {jax.devices()[0]}  N={N} T={T} W={W}", flush=True)
 
-    for G in (8, 32, 128, 512, T):
+    for G in (4, 8, 32, 128, 512, T):
         fn = make_kernel(G, interpret=interpret)
         if interpret:
             # correctness only
             def fi(x, s, _f=fn):
                 return _f(x, s)
+
             out = jax.jit(fi)(x, starts)
             ok = bool(jnp.all(out == x))
             print(f"G={G:5d} interpret ok={ok}", flush=True)
             continue
-        per, c = timed_steady(lambda x, s, _f=fn: _f(x, s).sum(), (x, starts))
+        try:
+            per, c = timed_steady(
+                lambda x, s, _f=fn: _f(x, s).sum(), (x, starts)
+            )
+        except Exception as e:  # noqa: BLE001 — probe tool: record and move on
+            print(f"G={G:5d} FAILED: {str(e).splitlines()[0][:120]}", flush=True)
+            continue
         ndma = (N // T) * (T // G)
         bw = 2 * N * W * 4 / per / 1e9
         print(
