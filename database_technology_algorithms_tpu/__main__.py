@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import sys
 import os
 import time
 
@@ -44,8 +45,15 @@ def cmd_pipeline(args) -> int:
             local_devices=args.local_devices,
             platform=args.platform,
             initialization_timeout=getattr(args, "init_timeout", 300),
+            heartbeat_timeout=getattr(args, "heartbeat_timeout", 100),
         )
         import jax
+
+        print(
+            f"dist: rendezvous complete, {len(jax.devices())} global devices",
+            file=sys.stderr,
+            flush=True,
+        )
 
         if not args.skip_files:
             print("ERROR: multi-process runs require --skip-files")
@@ -151,7 +159,11 @@ def _pipeline_dist(args, r, s, field) -> int:
         print("ERROR: multi-process runs use all global devices (--dist must match)")
         return 1
     mesh = make_mesh(devices=devices[:n])
-    cfg = EngineConfig(shuffle_slack=4.0)
+    cfg = EngineConfig(
+        shuffle_slack=4.0,
+        dist_join_engine=getattr(args, "join_engine", "sorted"),
+        shuffle_nchunks=getattr(args, "shuffle_chunks", 1),
+    )
     step = make_dist_pipeline(mesh, field, cfg)
     if multiproc:
         from .parallel.multihost import distribute_global
@@ -321,6 +333,15 @@ def main() -> int:
     pp.add_argument("--workdir", default=".")
     pp.add_argument("--skip-files", action="store_true")
     pp.add_argument("--dist", type=int, default=0, help="run on an N-device mesh")
+    pp.add_argument("--join-engine", default="sorted", dest="join_engine",
+                    choices=["sorted", "skew", "overlap"],
+                    help="HashJoin cross-check engine in the dist plan "
+                         "(skew = heavy-hitter machinery, overlap = "
+                         "key-only chunked exchange; u32 fields)")
+    pp.add_argument("--shuffle-chunks", type=int, default=1,
+                    dest="shuffle_chunks",
+                    help=">1 splits the exchanges into independent slices "
+                         "XLA overlaps with unpack compute")
     pp.add_argument("--coordinator", default=None,
                     help="multi-process: coordinator address host:port")
     pp.add_argument("--num-processes", type=int, default=1)
@@ -329,6 +350,10 @@ def main() -> int:
                     help="per-process device count (CPU multi-process tests)")
     pp.add_argument("--init-timeout", type=int, default=300, dest="init_timeout",
                     help="multi-process rendezvous timeout (failure detection)")
+    pp.add_argument("--heartbeat-timeout", type=int, default=100,
+                    dest="heartbeat_timeout",
+                    help="multi-process liveness: seconds without heartbeats "
+                         "before a dead peer is detected (failure detection)")
     pp.add_argument("--debug-checks", action="store_true",
                     help="validate batch invariants at ingestion (utils/checks)")
     pp.set_defaults(fn=cmd_pipeline)

@@ -51,6 +51,24 @@ class EngineConfig:
     mesh_axis: str = "shard"
     # all-to-all per-destination capacity = ceil(rows/ndev) * slack
     shuffle_slack: float = 2.0
+    # per-destination rank engine for the shuffle pack: "onehot" (VPU
+    # cumsum, O(n*ndev) intermediate — small meshes), "sort" (two small
+    # word sorts, O(n log n) — pod scale), "auto" (threshold on ndev)
+    shuffle_rank_engine: str = "auto"
+    # chunked (overlapped) exchange: >1 splits the pipeline's all_to_all
+    # into that many independent slices so XLA overlaps later slices'
+    # communication with earlier slices' unpack compute (BASELINE config 5)
+    shuffle_nchunks: int = 1
+    # engine for the distributed pipeline's HashJoin cross-check over the
+    # dedup'd intermediates (main.cpp:121 semantics):
+    #   "sorted"  local concat-sort kernel on the colocated sides
+    #   "skew"    heavy-hitter replicate/local-probe machinery (skew.py)
+    #   "overlap" key-only chunked-exchange machinery (overlap.py; u32
+    #             fields — string fields fall back to "sorted")
+    # All three are exact for any distribution; the pipeline itself is
+    # skew-proof regardless (local-first dedup bounds any key to <=1 row
+    # per chip per side before the shuffle).
+    dist_join_engine: str = "sorted"
     # heavy-hitter threshold: keys with > rows/(ndev*hh_factor) occurrences
     # get split/broadcast handling
     hh_factor: int = 4

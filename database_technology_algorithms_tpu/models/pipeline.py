@@ -312,10 +312,35 @@ def make_dist_pipeline(mesh: Mesh, field: int = 1, cfg: EngineConfig = DEFAULT_C
     Returned fn signature: (r_batch, r_counts, s_batch, s_counts) with rows
     sharded over the mesh; returns the same counter dict as pipeline_single
     (counters globally psum'd and replicated) plus shuffle overflow.
+
+    Plan shape (r3): **local-first**.  Every operator in the reference
+    driver's plan is distinct-based (MergeJoin dedups both inputs,
+    main.cpp:109-123; the cross-check HashJoin runs on the dedup'd
+    intermediates), so each chip first dedups its own rows (plus computes
+    per-key partial aggregates for the S side) and only the survivors
+    cross the interconnect.  This makes the composed program skew-proof by
+    construction — any key contributes at most ONE row per chip per side
+    to the exchange, so a Zipf-hot key moves <= ndev rows instead of its
+    full multiplicity (BASELINE config 4) — and cuts exchange bytes to the
+    distinct-key volume.  The S side's partial (count,sum,min,max) ride
+    the shuffle as extra u32 words and are merged by a segmented combine
+    (two-phase aggregation).  ``cfg.shuffle_nchunks`` > 1 splits the
+    exchanges into independent slices XLA can overlap with unpack compute
+    (BASELINE config 5); ``cfg.dist_join_engine`` selects the HashJoin
+    cross-check engine (sorted kernel / skew machinery / overlapped
+    key-only machinery — all exact; see config.py).
     """
+    from ..ops.aggregate import combine_group_aggregate_impl
+    from ..parallel.shuffle import shuffle_with_extra
+
     ndev = mesh_size(mesh)
     ax = mesh.axis_names if len(mesh.axis_names) > 1 else mesh.axis_names[0]
     row = P(mesh.axis_names)
+    from ..batch import canonical_field
+
+    engine = cfg.dist_join_engine
+    if engine == "overlap" and canonical_field(field) not in (0, 1):
+        engine = "sorted"  # key-only exchange covers u32 key domains
 
     def step(rb, rc, sb, sc):
         rc, sc = rc[0], sc[0]
@@ -328,32 +353,75 @@ def make_dist_pipeline(mesh: Mesh, field: int = 1, cfg: EngineConfig = DEFAULT_C
         rf, rcf = compact(rb, rb.valid & (jnp.arange(nrow_r) < rc), cfg)
         sf, scf = compact(sb, sb.valid & (jnp.arange(nrow_s) < sc), cfg)
 
-        # one hash-partition all-to-all per table: colocates equal keys
-        rdest = key_hash(rf, field) % jnp.uint32(ndev)
-        sdest = key_hash(sf, field) % jnp.uint32(ndev)
-        rsh, rtot, ovf1 = shuffle(rf, rcf, rdest, ax, ndev, cap_r, cfg)
-        ssh, stot, ovf2 = shuffle(sf, scf, sdest, ax, ndev, cap_s, cfg)
+        # local-first: per-chip dedup (R) and dedup + partial aggregates (S)
+        rloc, nur_loc = distinct_impl(rf, field, cfg, count=rcf)
+        sloc, s_pagg, nus_loc = group_aggregate_impl(
+            sf, field, cfg, count=scf, materialize_reps=True
+        )
 
-        # local kernels — identical to the single-chip path
+        # one hash-partition all-to-all per table: colocates equal keys;
+        # S's partial aggregates ride as extra words
+        rdest = key_hash(rloc, field) % jnp.uint32(ndev)
+        sdest = key_hash(sloc, field) % jnp.uint32(ndev)
+        rsh, _, rtot, ovf1 = shuffle_with_extra(
+            rloc, nur_loc, rdest, ax, ndev, cap_r, cfg,
+            nchunks=cfg.shuffle_nchunks,
+        )
+        ssh, s_px, stot, ovf2 = shuffle_with_extra(
+            sloc, nus_loc, sdest, ax, ndev, cap_s, cfg,
+            extra=(
+                s_pagg["count"].astype(jnp.uint32),
+                s_pagg["sum"],
+                s_pagg["min"],
+                s_pagg["max"],
+            ),
+            nchunks=cfg.shuffle_nchunks,
+        )
+
+        # global combine — inputs hold <= ndev partial rows per key
         rd, nur = distinct_impl(rsh, field, cfg, count=rtot)
-        sd, nus = distinct_impl(ssh, field, cfg, count=stot)
+        sd, aggs, nus = combine_group_aggregate_impl(
+            ssh, field, s_px, cfg, count=stot, materialize_reps=True
+        )
         mj_out, mjn = join_sorted_distinct_impl(rd, nur, sd, nus, field, cfg)
-        _, _, hjn = hash_join_count_impl(
-            rd, sd, field, cfg, build_count=nur, probe_count=nus
-        )
-        _, _, ng = group_aggregate_impl(
-            ssh, field, cfg, count=stot, materialize_reps=False
-        )
+
+        # HashJoin cross-check on the dedup'd intermediates (main.cpp:121)
+        # via the configured engine — every engine returns the same count
+        if engine == "skew":
+            from ..parallel.skew import skew_join_local
+
+            cap_hot = min(max(2 * ndev * cfg.hh_topk, 64), nrow_r)
+            _, _, hjn_g, hj_ovf, _ = skew_join_local(
+                rd, nur, sd, nus, field, cfg, ndev, ax,
+                cap_r, cap_s, cap_hot,
+            )
+        elif engine == "overlap":
+            from ..parallel.overlap import overlapped_join_local
+
+            oj_chunks = max(cfg.shuffle_nchunks, 2)
+            chunk_cap = -(-cap_s // oj_chunks)
+            _, _, hjn_g, hj_ovf = overlapped_join_local(
+                rd, nur, sd, nus, field, cfg, ndev, ax,
+                cap_r, chunk_cap * oj_chunks, chunk_cap, oj_chunks,
+            )
+        else:
+            _, _, hjn = hash_join_count_impl(
+                rd, sd, field, cfg, build_count=nur, probe_count=nus
+            )
+            hjn_g = jax.lax.psum(hjn, ax)
+            hj_ovf = jnp.int32(0)
 
         return {
             "nunique_r": jax.lax.psum(nur, ax),
             "nunique_s": jax.lax.psum(nus, ax),
             "merge_nres": jax.lax.psum(mjn, ax),
-            "hash_nres": jax.lax.psum(hjn, ax),
-            "agg_groups": jax.lax.psum(ng, ax),
+            "hash_nres": hjn_g,
+            "agg_groups": jax.lax.psum(nus, ax),
             "join_out": mj_out,
             "join_counts": mjn[None].astype(jnp.int32),
-            "overflow": ovf1 + ovf2,
+            "agg_count": aggs["count"],
+            "agg_sum": aggs["sum"],
+            "overflow": ovf1 + ovf2 + hj_ovf,
         }
 
     sharded = shard_map(
@@ -368,6 +436,8 @@ def make_dist_pipeline(mesh: Mesh, field: int = 1, cfg: EngineConfig = DEFAULT_C
             "agg_groups": P(),
             "join_out": row,
             "join_counts": row,
+            "agg_count": row,
+            "agg_sum": row,
             "overflow": P(),
         },
         check_vma=False,

@@ -97,3 +97,73 @@ def group_aggregate_impl(
 group_aggregate = per_static_jit(
     group_aggregate_impl, static_names=("field", "cfg", "materialize_reps")
 )
+
+
+def combine_group_aggregate_impl(
+    batch: RecordBatch,
+    field,
+    partials: tuple,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    count: jax.Array | None = None,
+    materialize_reps: bool = True,
+) -> tuple[RecordBatch, dict, jax.Array]:
+    """Merge PARTIAL per-key aggregates into global ones (two-phase
+    aggregation's combine step).
+
+    ``partials`` = (count, sum, min, max) u32 columns aligned with `batch`
+    rows, each row a group representative from some chip's local
+    ``group_aggregate``.  After a hash shuffle every key's partials are
+    colocated (<= 1 per source chip), so the combine is one key sort
+    carrying the 4 partial words + segmented reductions — the TPU-native
+    form of the classic local/global aggregate split, which also bounds the
+    shuffle under key skew (any key moves at most ndev partial rows, never
+    its raw duplicates).
+
+    Returns (group_rep_batch, aggs, n_groups) exactly like
+    ``group_aggregate_impl``.
+    """
+    n = batch.nrows
+    pc, ps, pmin, pmax = (p.astype(jnp.uint32) for p in partials)
+    active = (
+        jnp.ones(n, dtype=bool)
+        if count is None
+        else jnp.arange(n, dtype=jnp.int32) < count
+    )
+    pre = ((~active).astype(jnp.uint32),)
+    view = sort_keys(
+        batch, field, cfg,
+        pre_words=pre,
+        extra=(active.astype(jnp.uint32), pc, ps, pmin, pmax),
+    )
+    s_act, s_pc, s_ps, s_pmin, s_pmax = view.extras
+    active_s = s_act == 1
+    adj = view.adj_eq
+    new_run = active_s & ~adj
+    nxt_active = jnp.concatenate([active_s[1:], jnp.zeros(1, dtype=bool)])
+    nxt_same = jnp.concatenate([adj[1:], jnp.zeros(1, dtype=bool)])
+    is_end = active_s & (~nxt_active | ~nxt_same)
+
+    c_incl = jnp.cumsum(jnp.where(active_s, s_pc, 0).astype(jnp.int32))
+    s_incl = jnp.cumsum(jnp.where(active_s, s_ps, 0).astype(jnp.uint32))
+    run_min = seg_min(new_run, jnp.where(active_s, s_pmin, U32_MAX))
+    run_max = seg_max(new_run, jnp.where(active_s, s_pmax, jnp.uint32(0)))
+
+    if materialize_reps:
+        reps, n_groups = materialize_survivors(batch, view.perm, new_run, cfg)
+    else:
+        reps = batch.slice(0, 1)
+        n_groups = jnp.sum(new_run, dtype=jnp.int32)
+    _, (ec, es, emin, emax) = compact_words(
+        is_end, (c_incl, s_incl, run_min, run_max)
+    )
+    gidx = jnp.arange(n, dtype=jnp.int32)
+    live_g = gidx < n_groups
+    prev_c = jnp.concatenate([jnp.zeros(1, jnp.int32), ec[:-1]])
+    prev_s = jnp.concatenate([jnp.zeros(1, jnp.uint32), es[:-1]])
+    aggs = {
+        "count": jnp.where(live_g, ec - prev_c, 0),
+        "sum": jnp.where(live_g, es - prev_s, 0),
+        "min": jnp.where(live_g, emin, U32_MAX),
+        "max": jnp.where(live_g, emax, 0),
+    }
+    return reps, aggs, n_groups

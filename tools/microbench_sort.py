@@ -1,6 +1,8 @@
 #!/usr/bin/env python
 """Critical measurement: wide-payload lax.sort + cumsum costs at 1M rows."""
-import sys, time
+import os
+import sys
+import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax, jax.numpy as jnp
 from database_technology_algorithms_tpu.utils.cache import enable_persistent_cache

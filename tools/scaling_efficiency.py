@@ -104,19 +104,35 @@ def main() -> int:
         line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
         rows.append(json.loads(line))
 
-    base = rows[0]["step_s"] * rows[0]["devices"]
-    print(f"{'devices':>8} {'rows':>10} {'step ms':>10} {'weak-scaling eff':>18}")
+    print(
+        f"{'devices':>8} {'rows':>10} {'step ms':>10} {'raw weak eff':>14} "
+        f"{'shared-hw eff':>14}"
+    )
     for r in rows:
-        # weak scaling: perfect = constant step time as devices grow
+        # raw weak scaling: perfect = constant step time as devices grow.
+        # Meaningful on real hardware (each device adds silicon); on the
+        # VIRTUAL mesh every "device" shares one CPU, so total work grows
+        # N-fold on fixed silicon and the honest ideal is step_s ~ N —
+        # shared-hw eff = base*N/step_s isolates the engine's own overhead
+        # growth (extra collectives, pack/unpack) from the missing hardware.
         eff = rows[0]["step_s"] / r["step_s"]
+        eff_sh = rows[0]["step_s"] * r["devices"] / r["step_s"]
         print(
             f"{r['devices']:>8} {r['total_rows']:>10,} {r['step_s']*1e3:>10.1f} "
-            f"{eff:>18.2f}"
+            f"{eff:>14.2f} {eff_sh:>14.2f}"
         )
-    print(json.dumps({"metric": "weak_scaling_efficiency",
-                      "sizes": [r["devices"] for r in rows],
-                      "step_s": [r["step_s"] for r in rows],
-                      "efficiency": [round(rows[0]["step_s"]/r["step_s"], 3) for r in rows]}))
+    print(json.dumps({
+        "metric": "weak_scaling_efficiency",
+        "platform": args.platform,
+        "virtual_shared_hardware": args.platform == "cpu",
+        "per_chip_rows": args.per_chip,
+        "sizes": [r["devices"] for r in rows],
+        "step_s": [r["step_s"] for r in rows],
+        "efficiency_raw": [round(rows[0]["step_s"] / r["step_s"], 3) for r in rows],
+        "efficiency_shared_hw": [
+            round(rows[0]["step_s"] * r["devices"] / r["step_s"], 3) for r in rows
+        ],
+    }))
     return 0
 
 
