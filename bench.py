@@ -7,7 +7,7 @@ rows/s.  This runs the same logical pipeline (plus the hash-join cross-check
 and a hash aggregate) on one TPU chip, data generated on-device (reference
 distribution: num uniform in [0, 30*nblocks)).
 
-Measurement notes (tools/bench_calibrate*.py, PERF_NOTES.md):
+Measurement notes (tools/bench_calibrate3.py, PERF_NOTES.md):
   * block_until_ready does not reliably fence execution through the axon
     tunnel, and every synced call carries a fixed ~26 ms round trip — each
     timing therefore ends with a device->host scalar readback (which does
@@ -45,14 +45,22 @@ K = 6  # queued dispatch rounds per steady-state timing
 BASELINE_ROWS_PER_S = 155_700.0  # BASELINE.md MergeJoin pipeline, 1 x86 core
 
 VARIANTS = [
-    # (name, audit op) — ordered by importance: the HEADLINE variant runs
+    # (name, audit op) — ordered by importance: the HEADLINE variants run
     # first so a shrinking clock sacrifices detail lines, never the headline
     # (round-2 post-mortem: one wedged compile burned the driver's whole
     # budget and BENCH_r02.json parsed to null).
+    #
+    # pipeline_materialized = the ONE-program monolith (narrow-width storage
+    # cut the materializer to a single 6-operand placement sort, so the
+    # whole plan compiles as one XLA program again — and saves the staged
+    # form's extra ~12 ms host dispatch through the tunnel).  The staged
+    # two-program form stays as the fallback headline: if the monolith's
+    # compile wedges, the staged record carries the round.
     # ("pipeline_materialized_2d", "pipeline"): measured 5-8x slower —
     # XLA's batched-column sort pays ~13x per column vs the 1-D variadic
     # sort (PERF_NOTES.md); run it ad hoc with --variant if needed
     ("pipeline_materialized", "pipeline"),
+    ("pipeline_materialized_staged", "pipeline"),
     ("sort", "sort"),
     ("hash_join_count", "hash_join"),
     ("distinct", "distinct"),
@@ -124,16 +132,23 @@ def build_variant(name, r, s):
         pipeline_single_impl,
     )
 
-    if name in ("pipeline_materialized", "pipeline_materialized_2d"):
+    if name.startswith("pipeline_materialized"):
         cfg = (
             EngineConfig(materialize="sort2d")
             if name.endswith("_2d")
             else EngineConfig()
         )
-        staged = make_pipeline_staged(1, cfg)
+        if name == "pipeline_materialized":
+            # the ONE-program monolith: materialization included
+            jit_mono = jax.jit(lambda r, s: pipeline_single_impl(r, s, 1, cfg))
+
+            def run(r, s):
+                return jit_mono(r, s)
+        else:
+            run = make_pipeline_staged(1, cfg)
 
         def call(r, s):
-            out = staged(r, s)
+            out = run(r, s)
             j = out["join_out"]
             chk = (
                 jnp.sum(j.recid, dtype=jnp.uint32)
@@ -245,9 +260,12 @@ def parent_main() -> int:
     recs = {}
     for name, _op in VARIANTS:
         remaining = deadline - time.perf_counter()
-        # keep a reserve for the aggregation step; once the headline variant
+        # keep a reserve for the aggregation step; once a headline variant
         # has a record, later variants are pure detail and are droppable
-        if remaining < 90 and "pipeline_materialized" in recs:
+        if remaining < 90 and (
+            recs.get("pipeline_materialized")
+            or recs.get("pipeline_materialized_staged")
+        ):
             print(f"# {name}: SKIPPED (clock: {remaining:.0f}s left)", file=sys.stderr)
             recs[name] = None
             continue
@@ -315,7 +333,11 @@ def parent_main() -> int:
 
     mats = [
         recs.get(n)
-        for n in ("pipeline_materialized", "pipeline_materialized_2d")
+        for n in (
+            "pipeline_materialized",
+            "pipeline_materialized_staged",
+            "pipeline_materialized_2d",
+        )
         if recs.get(n)
     ]
     merge_nres = mats[0]["merge_nres"] if mats else -1
@@ -353,9 +375,11 @@ def parent_main() -> int:
             "fraction_of_sol": round(a.fraction_of_sol, 4),
             "rows_per_s": round(ROWS / per, 1),
         }
-        if name == "pipeline_materialized":
-            # headline pinned to the PRODUCTION materializer engine; other
-            # materializer variants report as detail only
+        if name == "pipeline_materialized" or (
+            name == "pipeline_materialized_staged" and headline is None
+        ):
+            # headline pinned to the production monolith; the staged form
+            # stands in only when the monolith produced no record
             headline = per
         print(
             f"# roofline {name:26s} {per*1e3:9.2f} ms  "

@@ -150,6 +150,78 @@ def probe_multiplicity(
     return matched, mult
 
 
+def _fused_matched_mult(
+    build: RecordBatch,
+    probe: RecordBatch,
+    field,
+    cfg: EngineConfig,
+    build_count: jax.Array | None,
+    probe_count: jax.Array | None,
+) -> tuple[jax.Array, jax.Array]:
+    """(matched bool[P], build-multiplicity int32[P]) from ONE fused sort.
+
+    r3 rewrite: the original generic path first *materialized* the build
+    key set (build_key_multiset: key sort + placement sorts) and then ran
+    a second concat sort — ~22 ms at 1M x 1M on-chip.  Counting needs no
+    record movement at all: sort build||probe once by (active, key, iota)
+    (build rows precede probe rows within a key — their indices are
+    smaller), segment-scan each run's active-build total to every row, and
+    return answers to probe order with one small sort.  ~2.5x fewer sort
+    operands; measured in PERF_NOTES.md.
+    """
+    nb, npr = build.nrows, probe.nrows
+    both = RecordBatch.concat([build, probe])
+    n = nb + npr
+    idx = jnp.arange(n, dtype=jnp.int32)
+    b_active = (
+        idx < nb
+        if build_count is None
+        else (idx < nb) & (idx < build_count)
+    )
+    p_active = (
+        idx >= nb
+        if probe_count is None
+        else (idx >= nb) & ((idx - nb) < probe_count)
+    )
+    active = b_active | p_active
+    view = sort_keys(
+        both, field, cfg,
+        pre_words=((~active).astype(jnp.uint32),),
+        extra=(active.astype(jnp.uint32),),
+    )
+    (s_act,) = view.extras
+    active_s = s_act == 1
+    s_build = view.perm < nb
+    adj = view.adj_eq
+    is_start = ~adj
+    end_flags = jnp.concatenate([is_start[1:], jnp.ones(1, bool)])
+
+    from .scan import seg_carry
+
+    ab = (active_s & s_build).astype(jnp.int32)
+    cb = jnp.cumsum(ab)  # inclusive active-build count
+    # run's build total = (inclusive cb at run end) - (exclusive cb at start)
+    start_excl = seg_carry(
+        is_start, jnp.where(is_start, cb - ab, 0).astype(jnp.uint32)
+    ).astype(jnp.int32)
+    end_incl = jnp.flip(
+        seg_carry(
+            jnp.flip(end_flags),
+            jnp.flip(jnp.where(end_flags, cb, 0).astype(jnp.uint32)),
+        )
+    ).astype(jnp.int32)
+    mult_sorted = jnp.where(active_s & ~s_build, end_incl - start_excl, 0)
+    matched_sorted = mult_sorted > 0
+
+    # answers back to probe original order: probe rows' perm values are
+    # their concat indices (nb..n-1), already monotone in probe order
+    ord_key = jnp.where(~s_build, view.perm, jnp.int32(n)).astype(jnp.uint32)
+    out = jax.lax.sort(
+        (ord_key, matched_sorted.astype(jnp.uint32), mult_sorted), num_keys=1
+    )
+    return (out[1][:npr] == 1), out[2][:npr]
+
+
 def hash_join_count_impl(
     build: RecordBatch,
     probe: RecordBatch,
@@ -183,10 +255,16 @@ def hash_join_count_impl(
                 build, probe, field, cfg,
                 build_count=build_count, probe_count=probe_count,
             )
+        if cfg.u32_join_engine == "bucketed":
+            from .bucket_join import hash_join_count_bucketed
+
+            return hash_join_count_bucketed(
+                build, probe, field, cfg,
+                build_count=build_count, probe_count=probe_count,
+            )
         raise ValueError(f"unknown u32_join_engine {cfg.u32_join_engine!r}")
-    uniq, counts, n_build = build_key_multiset(build, field, cfg, count=build_count)
-    matched, mult = probe_multiplicity(
-        uniq, counts, n_build, probe, field, cfg, probe_count=probe_count
+    matched, mult = _fused_matched_mult(
+        build, probe, field, cfg, build_count, probe_count
     )
     if field == FIELD_NUMSTR:
         nres = jnp.sum(mult)

@@ -241,3 +241,83 @@ def test_place_grouped_matches_place35(rng):
     assert len(a) == len(b) == 33
     for x, y in zip(a, b):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_bucketed_join_engine_equals_generic(rng):
+    """cfg.u32_join_engine="bucketed" (Grace-style padded bucket compare)
+    must match the generic engine bit-exactly on both u32 fields, including
+    keys equal to the table sentinel and capacity-live-count padding."""
+    import jax.numpy as jnp
+
+    from database_technology_algorithms_tpu.config import EngineConfig
+    from database_technology_algorithms_tpu.ops.hash_join import (
+        hash_join_count_impl,
+    )
+
+    n_b, n_p = 700, 900
+    cols_b = M.random_cols(rng, n_b, key_range=300)
+    cols_p = M.random_cols(rng, n_p, key_range=300)
+    b = M.to_batch(cols_b)
+    p = M.to_batch(cols_p)
+    # plant sentinel-valued keys on both sides (0xFFFFFFFF is the table fill)
+    b = type(b)(
+        recid=b.recid, num=b.num.at[3].set(jnp.uint32(0xFFFFFFFF)),
+        strw=b.strw, valid=b.valid,
+    )
+    p = type(p)(
+        recid=p.recid, num=p.num.at[7].set(jnp.uint32(0xFFFFFFFF)),
+        strw=p.strw, valid=p.valid,
+    )
+    for field in (0, 1):
+        for bc, pc in ((None, None), (jnp.int32(n_b - 50), jnp.int32(n_p - 70))):
+            m1, mu1, n1 = hash_join_count_impl(
+                b, p, field, EngineConfig(u32_join_engine="generic"),
+                build_count=bc, probe_count=pc,
+            )
+            m2, mu2, n2 = hash_join_count_impl(
+                b, p, field, EngineConfig(u32_join_engine="bucketed"),
+                build_count=bc, probe_count=pc,
+            )
+            assert int(n1) == int(n2), (field, bc)
+            np.testing.assert_array_equal(np.asarray(m1), np.asarray(m2))
+            np.testing.assert_array_equal(np.asarray(mu1), np.asarray(mu2))
+
+
+def test_bucketed_join_overflow_fallback():
+    """An adversarial key set that overflows a bucket must fall back to the
+    generic engine (exactness over speed) — same results, no crash."""
+    import jax.numpy as jnp
+
+    from database_technology_algorithms_tpu.config import EngineConfig
+    from database_technology_algorithms_tpu.ops.bucket_join import (
+        _BUCKET_SLACK,
+        _TARGET_MEAN,
+    )
+    from database_technology_algorithms_tpu.ops.hash_join import (
+        hash_join_count_impl,
+    )
+
+    # every build key identical: all land in ONE bucket, count >> cap
+    n = 64 * _BUCKET_SLACK * _TARGET_MEAN
+    cols = {
+        "recid": np.arange(n, dtype=np.uint32),
+        "num": np.full(n, 77, np.uint32),
+        "strs": np.zeros((n, 8), np.uint8),
+        "valid": np.ones(n, bool),
+    }
+    b = M.to_batch(cols)
+    pcols = {
+        "recid": np.arange(200, dtype=np.uint32),
+        "num": np.where(np.arange(200) % 2 == 0, 77, 5).astype(np.uint32),
+        "strs": np.zeros((200, 8), np.uint8),
+        "valid": np.ones(200, bool),
+    }
+    p = M.to_batch(pcols)
+    m1, _, n1 = hash_join_count_impl(
+        b, p, 1, EngineConfig(u32_join_engine="generic")
+    )
+    m2, _, n2 = hash_join_count_impl(
+        b, p, 1, EngineConfig(u32_join_engine="bucketed")
+    )
+    assert int(n1) == int(n2) == 100
+    np.testing.assert_array_equal(np.asarray(m1), np.asarray(m2))

@@ -1,6 +1,12 @@
 #!/usr/bin/env python
 """Trustworthy per-op device timings through the axon tunnel.
 
+(Supersedes the retired bench_calibrate.py / bench_calibrate2.py — their
+findings live in PERF_NOTES.md: the copy-baseline GB/s anchor, the
+block_until_ready-doesn't-fence diagnosis, the compile-scaling and
+gather-width sweeps, and the retired pallas_gather per-row-DMA experiment's
+negative result.)
+
 Methodology (the tunnel makes naive timing lie):
   * block_until_ready does NOT reliably fence execution on this platform
     (calibrate2 measured a [1M,128] gather at 15 TB/s) — every timing here
