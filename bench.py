@@ -50,17 +50,17 @@ VARIANTS = [
     # (round-2 post-mortem: one wedged compile burned the driver's whole
     # budget and BENCH_r02.json parsed to null).
     #
-    # pipeline_materialized = the ONE-program monolith (narrow-width storage
-    # cut the materializer to a single 6-operand placement sort, so the
-    # whole plan compiles as one XLA program again — and saves the staged
-    # form's extra ~12 ms host dispatch through the tunnel).  The staged
-    # two-program form stays as the fallback headline: if the monolith's
-    # compile wedges, the staged record carries the round.
+    # pipeline_materialized = the staged two-program form — MEASURED faster
+    # than the one-program monolith on-chip (21.3 vs 34.2 ms at 1M rows,
+    # r3: XLA schedules the fused-everything program worse than stage_a +
+    # place_group as separate executables; PERF_NOTES.md).  The monolith
+    # stays as the fallback headline: if the staged compile wedges, its
+    # record carries the round.
     # ("pipeline_materialized_2d", "pipeline"): measured 5-8x slower —
     # XLA's batched-column sort pays ~13x per column vs the 1-D variadic
     # sort (PERF_NOTES.md); run it ad hoc with --variant if needed
     ("pipeline_materialized", "pipeline"),
-    ("pipeline_materialized_staged", "pipeline"),
+    ("pipeline_materialized_mono", "pipeline"),
     ("sort", "sort"),
     ("hash_join_count", "hash_join"),
     ("distinct", "distinct"),
@@ -138,7 +138,7 @@ def build_variant(name, r, s):
             if name.endswith("_2d")
             else EngineConfig()
         )
-        if name == "pipeline_materialized":
+        if name == "pipeline_materialized_mono":
             # the ONE-program monolith: materialization included
             jit_mono = jax.jit(lambda r, s: pipeline_single_impl(r, s, 1, cfg))
 
@@ -264,7 +264,7 @@ def parent_main() -> int:
         # has a record, later variants are pure detail and are droppable
         if remaining < 90 and (
             recs.get("pipeline_materialized")
-            or recs.get("pipeline_materialized_staged")
+            or recs.get("pipeline_materialized_mono")
         ):
             print(f"# {name}: SKIPPED (clock: {remaining:.0f}s left)", file=sys.stderr)
             recs[name] = None
@@ -335,7 +335,7 @@ def parent_main() -> int:
         recs.get(n)
         for n in (
             "pipeline_materialized",
-            "pipeline_materialized_staged",
+            "pipeline_materialized_mono",
             "pipeline_materialized_2d",
         )
         if recs.get(n)
@@ -376,10 +376,10 @@ def parent_main() -> int:
             "rows_per_s": round(ROWS / per, 1),
         }
         if name == "pipeline_materialized" or (
-            name == "pipeline_materialized_staged" and headline is None
+            name == "pipeline_materialized_mono" and headline is None
         ):
-            # headline pinned to the production monolith; the staged form
-            # stands in only when the monolith produced no record
+            # headline pinned to the production staged engine; the monolith
+            # stands in only when the staged form produced no record
             headline = per
         print(
             f"# roofline {name:26s} {per*1e3:9.2f} ms  "

@@ -122,8 +122,11 @@ def pipeline_single_impl(
     """
     from ..ops.scan import seg_carry, seg_max, seg_min
 
+    from ..utils.checks import ensure_device_budget
+
     nr, ns = r.nrows, s.nrows
     n = nr + ns
+    ensure_device_budget(n, cfg, "pipeline_single")
 
     # selection filter: the valid flag is the reference format's predicate
     # slot (dbtproj.h:24) — applied as an activity MASK, zero data movement
@@ -165,8 +168,10 @@ def pipeline_single_impl(
     nxt_adj = jnp.concatenate([adj[1:], jnp.zeros(1, bool)])
     nxt_is_s = jnp.concatenate([is_s[1:], jnp.zeros(1, bool)])
     s_end = is_s & ~(nxt_adj & nxt_is_s)
-    c_incl = jnp.cumsum(is_s.astype(jnp.int32))
-    s_incl = jnp.cumsum(jnp.where(is_s, v_num, 0).astype(jnp.uint32))
+    from ..ops.scan import cumsum as _bcumsum
+
+    c_incl = _bcumsum(is_s.astype(jnp.int32))
+    s_incl = _bcumsum(jnp.where(is_s, v_num, 0).astype(jnp.uint32))
     run_min = seg_min(s_first, jnp.where(is_s, v_num, jnp.uint32(0xFFFFFFFF)))
     run_max = seg_max(s_first, jnp.where(is_s, v_num, jnp.uint32(0)))
     _, (ec, es, emin, emax) = compact_words(s_end, (c_incl, s_incl, run_min, run_max))

@@ -106,7 +106,10 @@ def call_resilient(build_fn, *args):
 
 
 def resilient_jit(build_fn):
-    """Persistent resilient wrapper around build_fn() -> jitted callable."""
+    """Persistent resilient wrapper around build_fn() -> jitted callable.
+
+    The returned callable exposes ``.build_fn`` so tools can lower the
+    underlying jitted program (HLO inspection, AOT warming)."""
     holder = [None]
 
     def call(*args, **kwargs):
@@ -127,4 +130,5 @@ def resilient_jit(build_fn):
         holder[0] = build_fn()
         return holder[0](*args, **kwargs)
 
+    call.build_fn = build_fn  # type: ignore[attr-defined]
     return call

@@ -68,8 +68,10 @@ def group_aggregate_impl(
     is_end = active & (~nxt_active | ~nxt_same)
 
     num = view.extras[-1]
-    c_incl = jnp.cumsum(active.astype(jnp.int32))
-    s_incl = jnp.cumsum(jnp.where(active, num, 0).astype(jnp.uint32))
+    from .scan import cumsum as _bcumsum
+
+    c_incl = _bcumsum(active.astype(jnp.int32))
+    s_incl = _bcumsum(jnp.where(active, num, 0).astype(jnp.uint32))
     run_min = seg_min(new_run, jnp.where(active, num, U32_MAX))
     run_max = seg_max(new_run, jnp.where(active, num, jnp.uint32(0)))
 
@@ -143,8 +145,10 @@ def combine_group_aggregate_impl(
     nxt_same = jnp.concatenate([adj[1:], jnp.zeros(1, dtype=bool)])
     is_end = active_s & (~nxt_active | ~nxt_same)
 
-    c_incl = jnp.cumsum(jnp.where(active_s, s_pc, 0).astype(jnp.int32))
-    s_incl = jnp.cumsum(jnp.where(active_s, s_ps, 0).astype(jnp.uint32))
+    from .scan import cumsum as _bcumsum
+
+    c_incl = _bcumsum(jnp.where(active_s, s_pc, 0).astype(jnp.int32))
+    s_incl = _bcumsum(jnp.where(active_s, s_ps, 0).astype(jnp.uint32))
     run_min = seg_min(new_run, jnp.where(active_s, s_pmin, U32_MAX))
     run_max = seg_max(new_run, jnp.where(active_s, s_pmax, jnp.uint32(0)))
 

@@ -85,7 +85,9 @@ def distinct_impl(
     One key sort + one record gather.
     """
     from ..batch import canonical_field
+    from ..utils.checks import ensure_device_budget
 
+    ensure_device_budget(batch.nrows, cfg, "distinct")
     if canonical_field(field) in (0, 1) and cfg.u32_distinct_engine == "fastpath":
         from .fastpath import distinct_u32
 

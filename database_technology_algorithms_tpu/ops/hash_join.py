@@ -73,7 +73,9 @@ def build_key_multiset(
     nxt_same = jnp.concatenate([adj[1:], jnp.zeros(1, dtype=bool)])
     is_end = active & (~nxt_active | ~nxt_same)
 
-    c_incl = jnp.cumsum(active.astype(jnp.int32))
+    from .scan import cumsum as _bcumsum
+
+    c_incl = _bcumsum(active.astype(jnp.int32))
     from .sort import materialize_survivors
 
     uniq, n_unique = materialize_survivors(build, view.perm, new_run, cfg)
@@ -199,7 +201,9 @@ def _fused_matched_mult(
     from .scan import seg_carry
 
     ab = (active_s & s_build).astype(jnp.int32)
-    cb = jnp.cumsum(ab)  # inclusive active-build count
+    from .scan import cumsum as _bcumsum
+
+    cb = _bcumsum(ab)  # inclusive active-build count
     # run's build total = (inclusive cb at run end) - (exclusive cb at start)
     start_excl = seg_carry(
         is_start, jnp.where(is_start, cb - ab, 0).astype(jnp.uint32)
@@ -237,6 +241,9 @@ def hash_join_count_impl(
     build_count/probe_count mark live rows under the static-capacity
     convention (padding rows never build nor match).
     """
+    from ..utils.checks import ensure_device_budget
+
+    ensure_device_budget(build.nrows + probe.nrows, cfg, "hash_join_count")
     field = canonical_field(field)
     if field in (0, 1) and cfg.u32_join_engine != "generic":
         # single-word key engines (dispatch measured per backend; all three

@@ -1,15 +1,18 @@
 """Word-level data movement helpers.
 
-Measured design point (tools/profile_ops.py + tools/bench_materialize.py,
-1M rows on the target chip): ``lax.sort`` with a handful of operands
-~0.2 ms; any random gather ~32 ms; scatter ~59 ms; and sorts with many
-operands explode XLA compile time.  The engine therefore (a) sorts only
-small word sets, (b) never scatters, and (c) moves whole records through
-**grouped payload-carrying sorts** (``place_words``/``permute_rows``):
-the 36 record words ride as sort payload in groups of ≤7 per ``lax.sort``
-call, keyed by each row's destination position — the TPU-native
-replacement for the row gather (the reference's per-record memcpy hot
-loops, ``DatabaseProject.cpp:303-326,583-629``).
+Measured design point (PERF_NOTES.md; r3 numbers): a few-operand
+``lax.sort`` at 1M rows costs ~0.5-1 ms, a random row gather ~7 ms
+(all columns consumed — beware XLA's dead-sort-operand pruning when
+microbenchmarking), scatters worse, and sorts with many operands explode
+XLA compile time.  The engine therefore (a) sorts only small word sets,
+(b) never scatters, and (c) moves whole records through **grouped
+payload-carrying sorts** (``place_words``/``permute_rows``): the 3+K
+record words (narrow-width storage, batch.py) ride as sort payload in
+groups of ≤7 per ``lax.sort`` call, keyed by each row's destination
+position — the TPU-native replacement for the row gather (the
+reference's per-record memcpy hot loops,
+``DatabaseProject.cpp:303-326,583-629``).  The gather is kept only where
+rows must be DUPLICATED (field-3 expansion) or on gather-fast backends.
 
 ``compact_rows`` is the mask→dense-prefix form of that: destinations are
 survivor ranks, drops sink past the live count.
@@ -214,7 +217,9 @@ def compaction_dest(keep: jax.Array) -> tuple[jax.Array, jax.Array]:
     """
     n = keep.shape[0]
     iota = jnp.arange(n, dtype=jnp.int32)
-    ranks = jnp.cumsum(keep.astype(jnp.int32)) - 1  # kept rank at kept rows
+    from .scan import cumsum as _bcumsum
+
+    ranks = _bcumsum(keep.astype(jnp.int32)) - 1  # kept rank at kept rows
     count = jnp.sum(keep, dtype=jnp.int32)
     dest = jnp.where(keep, ranks, count + (iota - ranks - 1))
     return dest, count

@@ -4,10 +4,10 @@ Replaces the reference's external merge sort machinery — qsort run formation
 (``DatabaseProject.cpp:207-214``) and the priority-queue k-way merge
 (``DatabaseProject.cpp:255,303-326``), both per-record scalar hot loops.
 
-TPU design point (measured on the target chip, tools/profile_ops.py):
+TPU design point (measured on the target chip; r3, PERF_NOTES.md):
 
-    lax.sort, few operands      ~0.2 ms / 1M rows
-    random gather, any width    ~32 ms / 1M rows
+    lax.sort, few operands      ~0.5-1 ms / 1M rows (~0.9 ms/operand at 2M)
+    random row gather           ~7 ms / 1M rows (all columns consumed)
     lax.sort, 36 operands       compile time explodes (>45 min)
 
 so the engine (a) sorts only *key words + a few control/index words* —
@@ -182,7 +182,9 @@ def survivor_dest(
     n = view_perm.shape[0]
     count = jnp.sum(keep_sorted, dtype=jnp.int32)
     pos = jnp.arange(n, dtype=jnp.int32)
-    rank = jnp.cumsum(keep_sorted.astype(jnp.int32)) - 1
+    from .scan import cumsum as _bcumsum
+
+    rank = _bcumsum(keep_sorted.astype(jnp.int32)) - 1
     dest_sorted = jnp.where(keep_sorted, rank, count + (pos - rank - 1))
     from .movement import sort_words
 
@@ -236,8 +238,11 @@ def sort_batch_impl(
     """
     from .movement import permute_rows, sort_words, use_sort_placement
 
+    from ..utils.checks import ensure_device_budget
+
     field = canonical_field(field)
     n = batch.nrows
+    ensure_device_budget(n, cfg, "sort_batch")
     if n <= 1:
         return batch, jnp.arange(n, dtype=jnp.int32)
     pre = ()

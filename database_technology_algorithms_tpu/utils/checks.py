@@ -66,6 +66,31 @@ def check_batch(batch: RecordBatch, count=None) -> list[str]:
     return problems
 
 
+class MemoryBudgetError(ValueError):
+    """An in-memory operator was handed more rows than the device budget."""
+
+
+def ensure_device_budget(nrows: int, cfg, op: str) -> None:
+    """Enforce the nmem_blocks heir on DEVICE operators (trace-time, free).
+
+    The reference's operators run under an explicit bounded-buffer contract
+    (``dbtproj.h:48,76``: nmem_blocks simulated-RAM blocks force external
+    algorithms).  The engine's device operators are single-pass in HBM, so
+    the contract here is a hard gate: an input beyond ``cfg.mem_rows``
+    must go through the external (chunked, spilling) drivers
+    (external.external_sort / the CLI mergesort/eliminatedup paths), which
+    bound every device sort to ``mem_rows`` — silently assuming HBM fits
+    is exactly the reference HashJoin's unbounded-memory bug
+    (``DatabaseProject.cpp:510-548``), not a capability.
+    """
+    if nrows > cfg.mem_rows:
+        raise MemoryBudgetError(
+            f"{op}: {nrows} rows exceed the device budget "
+            f"cfg.mem_rows={cfg.mem_rows}; route through the external "
+            f"drivers (external.external_sort) or raise the budget"
+        )
+
+
 def assert_batch(batch: RecordBatch, count=None) -> None:
     problems = check_batch(batch, count)
     if problems:

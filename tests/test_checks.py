@@ -53,3 +53,28 @@ def test_checked_take_errors_on_oob(rng):
     err, out = cf(jnp.array([0, 5, 12]))
     with pytest.raises(Exception):
         err.throw()
+
+
+def test_device_memory_budget_gate():
+    """The nmem_blocks heir: in-memory operators refuse inputs beyond
+    cfg.mem_rows with a pointer to the external drivers (the reference
+    HashJoin's unbounded build table is a bug, not a capability —
+    DatabaseProject.cpp:510-548)."""
+    import pytest
+
+    from database_technology_algorithms_tpu.config import EngineConfig
+    from database_technology_algorithms_tpu.io.generator import generate_batch
+    from database_technology_algorithms_tpu.ops.distinct import distinct_impl
+    from database_technology_algorithms_tpu.ops.sort import sort_batch_impl
+    from database_technology_algorithms_tpu.utils.checks import MemoryBudgetError
+
+    b = generate_batch(2, seed=0)  # 200 rows
+    tiny = EngineConfig(mem_rows=100)
+    with pytest.raises(MemoryBudgetError):
+        sort_batch_impl(b, 1, tiny)
+    with pytest.raises(MemoryBudgetError):
+        distinct_impl(b, 1, tiny)
+    # within budget: fine
+    ok = EngineConfig(mem_rows=1000)
+    out, n = distinct_impl(b, 1, ok)
+    assert int(n) > 0

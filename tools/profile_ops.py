@@ -50,29 +50,43 @@ def main():
 
     results = []
 
-    def run(name, fn, args, op):
+    row_b = 4 * (3 + r.str_words)  # actual stored footprint (narrow width)
+
+    # NOTE (r3): consume a checksum over EVERY output column.  XLA's sort
+    # simplifier prunes dead sort operands, so consuming only .num lets the
+    # compiler shrink a grouped placement sort to (key, num) and the line
+    # measures a fantasy (this bit round-3's first profile).
+    def _chk(b):
+        return (
+            jnp.sum(b.recid, dtype=jnp.uint32)
+            + jnp.sum(b.num, dtype=jnp.uint32)
+            + jnp.sum(b.strw, dtype=jnp.uint32)
+            + jnp.sum(b.valid)
+        )
+
+    def run(name, fn, args, op, payload_bytes=None):
         per, c = timed_steady(fn, args)
-        a = audit(op, n, per, device=dev)
+        a = audit(op, n, per, payload_bytes=payload_bytes or row_b, device=dev)
         a.op = name
         results.append(a)
         print(a.line() + f"  compile={c:.0f}s", flush=True)
 
-    run("filter+compact", lambda r: compact(r, mask)[0].num.sum(), (r,), "filter")
+    run("filter+compact", lambda r: _chk(compact(r, mask)[0]), (r,), "filter")
     run(
         "sort_batch",
-        lambda r: sort_batch_impl(r, 1)[0].num.sum(),
+        lambda r: _chk(sort_batch_impl(r, 1)[0]),
         (r,),
         "sort",
     )
     run(
         "distinct",
-        lambda r: distinct_impl(r, 1)[0].num.sum(),
+        lambda r: _chk(distinct_impl(r, 1)[0]),
         (r,),
         "distinct",
     )
     run(
         "merge_join (2x distinct + intersect)",
-        lambda r, s: merge_join_impl(r, s, 1)[0].num.sum(),
+        lambda r, s: _chk(merge_join_impl(r, s, 1)[0]),
         (r, s),
         "merge_join",
     )
@@ -89,17 +103,49 @@ def main():
         "aggregate",
     )
     run(
-        "permute_rows (35-word placement)",
-        lambda r, d: permute_rows(r, d).num.sum(),
+        "permute_rows (narrow 3+K-word placement)",
+        lambda r, d: _chk(permute_rows(r, d)),
         (r, dest),
         "compact",
     )
     run(
         "pipeline_single (materialized)",
-        lambda r, s: pipeline_single_impl(r, s, 1)["join_out"].num.sum(),
+        lambda r, s: _chk(pipeline_single_impl(r, s, 1)["join_out"]),
         (r, s),
         "pipeline",
     )
+    if "--engines" in sys.argv:
+        # alternative join engines at the same shapes (PERF_NOTES matrix)
+        from database_technology_algorithms_tpu.config import EngineConfig
+
+        for eng in ("bucketed", "searchsorted"):
+            cfg_e = EngineConfig(u32_join_engine=eng)
+            run(
+                f"hash_join_count[{eng}]",
+                lambda r, s, _c=cfg_e: hash_join_count_impl(r, s, 1, _c)[2],
+                (r, s),
+                "hash_join",
+            )
+    if "--wide" in sys.argv:
+        # full-width strings: the wide materializer (VERDICT r2 #2 baseline)
+        from database_technology_algorithms_tpu.batch import STR_WORDS
+
+        rw = r.pad_str_words(STR_WORDS)
+        jax.block_until_ready(rw)
+        run(
+            "permute_rows (wide 35-word placement)",
+            lambda rw, d: _chk(permute_rows(rw, d)),
+            (rw, dest),
+            "compact",
+            payload_bytes=140,
+        )
+        run(
+            "wide record gather (jnp.take)",
+            lambda rw, d: _chk(rw.take(d.astype(jnp.int32))),
+            (rw, dest),
+            "compact",
+            payload_bytes=140,
+        )
 
     print("\n" + report(results), flush=True)
 
