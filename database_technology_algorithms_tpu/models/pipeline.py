@@ -336,16 +336,13 @@ def make_dist_pipeline(mesh: Mesh, field: int = 1, cfg: EngineConfig = DEFAULT_C
     key-only machinery — all exact; see config.py).
     """
     from ..ops.aggregate import combine_group_aggregate_impl
+    from ..parallel.overlap import overlap_key_words
     from ..parallel.shuffle import shuffle_with_extra
 
     ndev = mesh_size(mesh)
     ax = mesh.axis_names if len(mesh.axis_names) > 1 else mesh.axis_names[0]
     row = P(mesh.axis_names)
-    from ..batch import canonical_field
-
     engine = cfg.dist_join_engine
-    if engine == "overlap" and canonical_field(field) not in (0, 1):
-        engine = "sorted"  # key-only exchange covers u32 key domains
 
     def step(rb, rc, sb, sc):
         rc, sc = rc[0], sc[0]
@@ -391,23 +388,29 @@ def make_dist_pipeline(mesh: Mesh, field: int = 1, cfg: EngineConfig = DEFAULT_C
         mj_out, mjn = join_sorted_distinct_impl(rd, nur, sd, nus, field, cfg)
 
         # HashJoin cross-check on the dedup'd intermediates (main.cpp:121)
-        # via the configured engine — every engine returns the same count
+        # via the configured engine — every engine returns the same count.
+        # The intermediates are ALREADY hash-colocated, so the engines'
+        # internal exchanges route every row to its own chip: per-
+        # destination capacity must cover a chip's whole live set (the
+        # rows/ndev sizing of a fresh shuffle under-provisions by ~ndev x)
+        cap_xr = max(cap_r, nrow_r + 64)
+        cap_xs = max(cap_s, nrow_s + 64)
         if engine == "skew":
             from ..parallel.skew import skew_join_local
 
             cap_hot = min(max(2 * ndev * cfg.hh_topk, 64), nrow_r)
             _, _, hjn_g, hj_ovf, _ = skew_join_local(
                 rd, nur, sd, nus, field, cfg, ndev, ax,
-                cap_r, cap_s, cap_hot,
+                cap_xr, cap_xs, cap_hot,
             )
-        elif engine == "overlap":
+        elif engine == "overlap" and overlap_key_words(rd, field) is not None:
             from ..parallel.overlap import overlapped_join_local
 
             oj_chunks = max(cfg.shuffle_nchunks, 2)
-            chunk_cap = -(-cap_s // oj_chunks)
+            chunk_cap = -(-cap_xs // oj_chunks)
             _, _, hjn_g, hj_ovf = overlapped_join_local(
                 rd, nur, sd, nus, field, cfg, ndev, ax,
-                cap_r, chunk_cap * oj_chunks, chunk_cap, oj_chunks,
+                cap_xr, chunk_cap * oj_chunks, chunk_cap, oj_chunks,
             )
         else:
             _, _, hjn = hash_join_count_impl(

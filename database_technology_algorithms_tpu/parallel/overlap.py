@@ -20,8 +20,12 @@ This variant restructures the semi-join so that ONLY KEYS cross the wire
   4. matched probe rows are emitted LOCALLY — the 137-byte payload never
      crosses the interconnect at all (37 bytes/row -> 10 bytes/row moved).
 
-Scope: single-word key domains ('0' recid, '1' num — the reference
-benchmark field, main.cpp:114).  String fields take the barrier path.
+Scope (r3): any key expressible as a SHORT u32 word list — '0'/'1'
+(one word, the reference benchmark field, main.cpp:114) and, thanks to
+narrow-width storage, '2'/'3' whenever both sides store 2 string words
+(the stored prefix IS the whole NUL-normalized string, so the exchange
+stays exact with zero verify passes).  Wide strings take the barrier
+path.
 
 Semantics preserved (reference HashJoin, DatabaseProject.cpp:504-647):
 semi-join — matched probe rows, probe multiplicity kept, build collapsed to
@@ -55,16 +59,90 @@ def _u32_key(batch: RecordBatch, field) -> jax.Array:
     return batch.recid if canonical_field(field) == 0 else batch.num
 
 
-def _partition_word_to_slots(
-    word: jax.Array, count: jax.Array, dest: jax.Array, ndev: int, cap: int
-) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
-    """Slot-pack ONE u32 word by destination (key-only partition).
+def overlap_key_words(batch: RecordBatch, field) -> list | None:
+    """The full key as a SHORT u32 word list, or None if not expressible.
 
-    Returns (slots[ndev*cap] with U32_MAX filler, slot_of_row[n] (=m for
-    dropped rows), counts[ndev], overflow).  Pure VPU + one tiny scatter-free
-    placement: the slot array is built with a 2-operand placement sort.
+    r3: narrow-width storage makes short string keys exchangeable exactly —
+    when the stored width is 2 words, those 2 words ARE the whole string
+    (trailing words provably zero), so field '2' keys cross the wire as 2
+    u32 planes and field '3' as 3, with zero verify passes.  Wider strings
+    return None (callers take the barrier join).
     """
-    n = word.shape[0]
+    f = canonical_field(field)
+    if f == 0:
+        return [batch.recid]
+    if f == 1:
+        return [batch.num]
+    if batch.str_words != 2:
+        return None
+    sw = [batch.strw[:, 0], batch.strw[:, 1]]
+    return sw if f == 2 else [batch.num] + sw
+
+
+def _member_multiword(
+    bwords: list, n_bkeys: jax.Array, kwords: list, live_c: jax.Array
+) -> jax.Array:
+    """Per-chunk-key BUILD MULTIPLICITY against the sorted build key list.
+
+    Multi-word keys have no single searchsorted; instead one small sort of
+    build-keys ++ chunk-keys by (inactive, words..., iota) and a pair of
+    run scans hand every chunk key its run's live-build count — the same
+    trick as ops/hash_join._fused_matched_mult, at chunk granularity.
+    Returns counts (u32, 0 = no match) in chunk order; fields 0-2 read it
+    as a boolean, field '3' sums it for the reference's multimap nres
+    (DatabaseProject.cpp:619-628).
+    """
+    from ..ops.scan import cumsum as _bcumsum, seg_carry
+
+    m = bwords[0].shape[0]
+    c = kwords[0].shape[0]
+    n = m + c
+    pos_b = jnp.arange(m, dtype=jnp.int32)
+    live = jnp.concatenate([pos_b < n_bkeys, live_c])
+    inact = (~live).astype(jnp.uint32)
+    iota = jnp.arange(n, dtype=jnp.int32)
+    ops = (inact,) + tuple(
+        jnp.concatenate([bw, kw]) for bw, kw in zip(bwords, kwords)
+    ) + (iota,)
+    out = jax.lax.sort(ops, num_keys=len(ops))
+    s_words = out[1:-1]
+    perm = out[-1]
+    s_live = out[0] == 0
+    eq_prev = jnp.ones(n - 1, dtype=bool)
+    for w in s_words:
+        eq_prev &= w[1:] == w[:-1]
+    is_start = jnp.concatenate([jnp.ones(1, bool), ~eq_prev])
+    end_flags = jnp.concatenate([is_start[1:], jnp.ones(1, bool)])
+    ab = ((perm < m) & s_live).astype(jnp.int32)
+    cb = _bcumsum(ab)
+    start_excl = seg_carry(
+        is_start, jnp.where(is_start, cb - ab, 0).astype(jnp.uint32)
+    ).astype(jnp.int32)
+    end_incl = jnp.flip(
+        seg_carry(
+            jnp.flip(end_flags),
+            jnp.flip(jnp.where(end_flags, cb, 0).astype(jnp.uint32)),
+        )
+    ).astype(jnp.int32)
+    cnt_sorted = jnp.where(
+        (perm >= m) & s_live, end_incl - start_excl, 0
+    ).astype(jnp.uint32)
+    # back to chunk order: chunk rows' perm values are m..n-1, monotone
+    ord_key = jnp.where(perm >= m, perm, jnp.int32(n)).astype(jnp.uint32)
+    back = jax.lax.sort((ord_key, cnt_sorted), num_keys=1)
+    return back[1][:c]
+
+
+def _partition_words_to_slots(
+    words: list, count: jax.Array, dest: jax.Array, ndev: int, cap: int
+) -> tuple[list, jax.Array, jax.Array, jax.Array]:
+    """Slot-pack a SHORT key-word list by destination (key-only partition).
+
+    Returns (slots list of [ndev*cap] with U32_MAX filler, slot_of_row[n]
+    (=m for dropped rows), counts[ndev], overflow).  Pure VPU + one tiny
+    scatter-free placement: all key planes ride ONE placement sort.
+    """
+    n = words[0].shape[0]
     m = ndev * cap
     idx = jnp.arange(n, dtype=jnp.int32)
     valid = idx < count
@@ -79,8 +157,11 @@ def _partition_word_to_slots(
     occupied = (j % cap) < counts[j // cap]
     ph_key = jnp.where(occupied, 2 * m + n + j, 2 * j + 1).astype(jnp.uint32)
     keys = jnp.concatenate([real_key, ph_key])
-    payload = jnp.concatenate([word, jnp.full((m,), U32_MAX, word.dtype)])
-    placed = jax.lax.sort((keys, payload), num_keys=1)[1][:m]
+    payload = tuple(
+        jnp.concatenate([w, jnp.full((m,), U32_MAX, w.dtype)]) for w in words
+    )
+    out = jax.lax.sort((keys,) + payload, num_keys=1)
+    placed = [o[:m] for o in out[1:]]
     send_counts = jnp.minimum(counts[:ndev], cap)
     overflow = jnp.sum(jnp.maximum(counts[:ndev] - cap, 0))
     return placed, slot, send_counts, overflow
@@ -107,28 +188,33 @@ def overlapped_join_local(
     standalone wrapper.  Returns (probe_out, cnt, nres, overflow).
     """
     a2a = lambda x: jax.lax.all_to_all(x, ax, 0, 0, tiled=True)
+    nw_b = overlap_key_words(bb, field)
+    nw_p = overlap_key_words(pb, field)
+    assert nw_b is not None and len(nw_b) == len(nw_p), (
+        "overlapped join needs short-word keys on both sides; "
+        "use dist_hash_join for wide strings"
+    )
+    nw = len(nw_b)
 
     # ---- build: key-only shuffle, one sorted unique key array ----
-    bkey = _u32_key(bb, field)
     bdest = key_hash(bb, field) % jnp.uint32(ndev)
-    bslots, _, bcounts, bovf = _partition_word_to_slots(
-        bkey, bc, bdest, ndev, cap_b
+    bslots, _, bcounts, bovf = _partition_words_to_slots(
+        nw_b, bc, bdest, ndev, cap_b
     )
-    bkey_recv = a2a(bslots)
+    bkey_recv = [a2a(s) for s in bslots]
     brc = a2a(bcounts)
     pos_b = jnp.arange(ndev * cap_b, dtype=jnp.int32)
     live_b = (pos_b % cap_b) < brc[pos_b // cap_b]
     dead_w = (~live_b).astype(jnp.uint32)
-    _, bkeys_sorted = jax.lax.sort((dead_w, bkey_recv), num_keys=2)
+    bsort = jax.lax.sort((dead_w,) + tuple(bkey_recv), num_keys=1 + nw)
     n_bkeys = jnp.sum(live_b, dtype=jnp.int32)
-    bkeys = jnp.where(pos_b < n_bkeys, bkeys_sorted, U32_MAX)
+    bkeys = [jnp.where(pos_b < n_bkeys, w, U32_MAX) for w in bsort[1:]]
 
     # ---- probe: key slots once, exchange + probe + mask-return in
     # nchunks independent slices (compute overlaps neighbours' comms)
-    pkey = _u32_key(pb, field)
     pdest = key_hash(pb, field) % jnp.uint32(ndev)
-    pslots, slot_of_row, pcounts, povf = _partition_word_to_slots(
-        pkey, pc, pdest, ndev, cap_p
+    pslots, slot_of_row, pcounts, povf = _partition_words_to_slots(
+        nw_p, pc, pdest, ndev, cap_p
     )
     prc = a2a(pcounts)
     within_c = jnp.arange(ndev * chunk_cap, dtype=jnp.int32) % chunk_cap
@@ -137,20 +223,28 @@ def overlapped_join_local(
     mask_slot_chunks = []
     for c in range(nchunks):
         lo = c * chunk_cap
-        chunk = pslots.reshape(ndev, cap_p)[
-            :, lo : lo + chunk_cap
-        ].reshape(ndev * chunk_cap)
-        k_recv = a2a(chunk)
+        k_recv = [
+            a2a(
+                s.reshape(ndev, cap_p)[:, lo : lo + chunk_cap].reshape(
+                    ndev * chunk_cap
+                )
+            )
+            for s in pslots
+        ]
         live_c = (lo + within_c) < prc[src_c]
-        pos = jnp.searchsorted(bkeys, k_recv)
-        hit = (
-            (pos < n_bkeys)
-            & (jnp.take(bkeys, pos, mode="clip") == k_recv)
-            & live_c
-        )
-        # mask rides BACK to the probe rows' source chip: tiled
+        if nw == 1:
+            pos = jnp.searchsorted(bkeys[0], k_recv[0])
+            hit = (
+                (pos < n_bkeys)
+                & (jnp.take(bkeys[0], pos, mode="clip") == k_recv[0])
+                & live_c
+            )
+            cnts = hit.astype(jnp.uint32)
+        else:
+            cnts = _member_multiword(bkeys, n_bkeys, k_recv, live_c)
+        # multiplicity rides BACK to the probe rows' source chip: tiled
         # all_to_all returns block s to source s
-        mask_slot_chunks.append(a2a(hit.astype(jnp.uint32)))
+        mask_slot_chunks.append(a2a(cnts))
 
     # stitch chunk masks back into slot order [ndev, cap_p]
     mask_slots = jnp.stack(
@@ -162,11 +256,19 @@ def overlapped_join_local(
     # back to original row order: each row knows its slot (dropped
     # rows got the sentinel slot -> mask 0)
     slot_idx = jnp.minimum(slot_of_row, ndev * cap_p)
-    matched = jnp.take(mask_flat, slot_idx) == 1
+    mult = jnp.take(mask_flat, slot_idx)
+    matched = mult > 0
 
     # ---- emit locally: the payload never crossed the wire ------------
+    # nres follows the reference counter: matched probe rows for fields
+    # 0-2 (mult is 0/1 — the build side dedups on the owner chip for
+    # single-word keys and counts are 1 per distinct key), build-side
+    # multiplicity summed for field '3' (the multimap semantics)
     out, nres_rows = compact(pb, matched, cfg)
-    nres = jax.lax.psum(nres_rows, ax)
+    if canonical_field(field) == 3:
+        nres = jax.lax.psum(jnp.sum(mult, dtype=jnp.int32), ax)
+    else:
+        nres = jax.lax.psum(nres_rows, ax)
     return out, nres_rows, nres, jax.lax.psum(bovf + povf, ax)
 
 
@@ -184,7 +286,12 @@ def dist_hash_join_overlapped(
     Returns (probe_out, nres, overflow); output rows stay on their source
     chip (multiset-equal to ``dist_hash_join``)."""
     field = canonical_field(field)
-    assert field in (0, 1), "overlapped join covers u32 fields; use dist_hash_join"
+    kb = overlap_key_words(build.batch, field)
+    kp = overlap_key_words(probe.batch, field)
+    assert kb is not None and kp is not None and len(kb) == len(kp), (
+        "overlapped join needs short-word keys on both sides (u32 fields, "
+        "or string fields at narrow stored width); use dist_hash_join"
+    )
     ndev = mesh_size(mesh)
     per_b, per_p = build.rows_per_chip, probe.rows_per_chip
     ax = mesh.axis_names if len(mesh.axis_names) > 1 else mesh.axis_names[0]

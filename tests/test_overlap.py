@@ -80,3 +80,23 @@ def test_overlapped_skewed_recovers(rng, mesh):
     assert int(nres) == M.model_hash_join(build, probe, 1)[2]
     # key-only traffic accounting is populated
     assert st.bytes_ici > 0
+
+
+@pytest.mark.parametrize("field", [2, 3])
+def test_overlapped_join_short_string_fields(rng, mesh, field):
+    """r3: narrow-width storage makes short string keys exchangeable
+    exactly — field '2'/'3' keys at 2 stored words cross the wire as word
+    planes with zero verify passes; results must equal the barrier join."""
+    pool = [b"", b"a", b"ab", b"Hola", b"hola", b"zzz", b"abcdefg"]
+    cols_b = M.random_cols(rng, 600, key_range=50, str_pool=pool)
+    cols_p = M.random_cols(rng, 700, key_range=50, str_pool=pool)
+    tb, tp = distribute(mesh, cols_b), distribute(mesh, cols_p)
+    assert tb.batch.str_words == 2  # short strings -> narrow bucket
+    out_o, nres_o, ovf_o = dist_hash_join_overlapped(mesh, tb, tp, field, CFG)
+    assert int(ovf_o) == 0
+    out_b, nres_b, ovf_b = dist_hash_join(mesh, tb, tp, field, CFG)
+    assert int(ovf_b) == 0
+    assert int(nres_o) == int(nres_b), field
+    ko = sorted(M.all_keys(collect(out_o), field))
+    kb = sorted(M.all_keys(collect(out_b), field))
+    assert ko == kb
