@@ -321,3 +321,49 @@ def test_bucketed_join_overflow_fallback():
     )
     assert int(n1) == int(n2) == 100
     np.testing.assert_array_equal(np.asarray(m1), np.asarray(m2))
+
+
+def test_cross_width_join_and_hash_invariance(rng):
+    """Joins between batches stored at DIFFERENT widths must be exact:
+    key_hash skips zero tail words (width-invariant), concat pads, and
+    comparisons read only live words.  Guards the narrow-width invariant
+    end-to-end (batch.py)."""
+    import jax.numpy as jnp
+
+    from database_technology_algorithms_tpu.batch import STR_WORDS, RecordBatch
+    from database_technology_algorithms_tpu.config import EngineConfig
+    from database_technology_algorithms_tpu.ops.hash_join import (
+        hash_join_count_impl,
+    )
+    from database_technology_algorithms_tpu.ops.keys import key_hash
+    from database_technology_algorithms_tpu.ops.merge_join import (
+        join_sorted_distinct_impl,
+    )
+    from database_technology_algorithms_tpu.ops.distinct import distinct_impl
+
+    cols_b = M.random_cols(rng, 400, key_range=60)
+    cols_p = M.random_cols(rng, 500, key_range=60)
+    narrow_b = M.to_batch(cols_b)            # auto width
+    wide_p = M.to_batch(cols_p).pad_str_words(STR_WORDS)
+    same_p = M.to_batch(cols_p)
+    assert narrow_b.str_words < STR_WORDS and wide_p.str_words == STR_WORDS
+
+    for field in (2, 3):
+        # width-invariant hash: same rows, different storage width
+        h_narrow = np.asarray(key_hash(same_p, field))
+        h_wide = np.asarray(key_hash(wide_p, field))
+        np.testing.assert_array_equal(h_narrow, h_wide)
+
+        # cross-width hash join == same-width hash join
+        m1, _, n1 = hash_join_count_impl(narrow_b, wide_p, field)
+        m2, _, n2 = hash_join_count_impl(narrow_b, same_p, field)
+        assert int(n1) == int(n2), field
+        np.testing.assert_array_equal(np.asarray(m1), np.asarray(m2))
+
+        # cross-width merge join (distinct intersection) agrees too
+        db, nb_ = distinct_impl(narrow_b, field)
+        dpw, npw = distinct_impl(wide_p, field)
+        dpn, npn = distinct_impl(same_p, field)
+        _, j1 = join_sorted_distinct_impl(db, nb_, dpw, npw, field)
+        _, j2 = join_sorted_distinct_impl(db, nb_, dpn, npn, field)
+        assert int(j1) == int(j2), field
