@@ -17,10 +17,9 @@ class EngineConfig:
     # --- memory discipline (the nmem_blocks heir) ---------------------------
     # Rows the engine may hold on-device per operator instance. Inputs larger
     # than this are processed by the external (chunked, spilling) drivers.
+    # (The reference's external fan-in knob nmem_blocks-1 has no heir: the
+    # two-pass distribution sort has no K-way merge, external.py.)
     mem_rows: int = 16 * 1024 * 1024
-    # Fan-in of the external merge (reference: nmem_blocks - 1,
-    # DatabaseProject.cpp:249,267).
-    merge_fanin: int = 16
 
     # --- sort ---------------------------------------------------------------
     # u32 words of NUL-normalized string used as the fast-path sort prefix;
@@ -77,7 +76,6 @@ class EngineConfig:
 
     # --- misc ---------------------------------------------------------------
     seed: int = 42
-    interpret: bool = False  # run Pallas kernels in interpreter mode
     # enable invariant guards (utils/checks.py): host-side batch validation
     # at ingestion + checkify'd index bounds on data-dependent gathers
     debug_checks: bool = False

@@ -389,28 +389,32 @@ def make_dist_pipeline(mesh: Mesh, field: int = 1, cfg: EngineConfig = DEFAULT_C
 
         # HashJoin cross-check on the dedup'd intermediates (main.cpp:121)
         # via the configured engine — every engine returns the same count.
-        # The intermediates are ALREADY hash-colocated, so the engines'
-        # internal exchanges route every row to its own chip: per-
-        # destination capacity must cover a chip's whole live set (the
-        # rows/ndev sizing of a fresh shuffle under-provisions by ~ndev x)
-        cap_xr = max(cap_r, nrow_r + 64)
-        cap_xs = max(cap_s, nrow_s + 64)
+        # The intermediates are ALREADY hash-colocated, so the engines run
+        # with colocated=True: their internal exchanges (which would route
+        # every row to its own chip, forcing ndev*(nrow+slack) slot buffers
+        # per chip and tripping the device-memory gate at larger meshes)
+        # are elided while the detection/probing machinery still runs.
         if engine == "skew":
             from ..parallel.skew import skew_join_local
 
             cap_hot = min(max(2 * ndev * cfg.hh_topk, 64), nrow_r)
             _, _, hjn_g, hj_ovf, _ = skew_join_local(
                 rd, nur, sd, nus, field, cfg, ndev, ax,
-                cap_xr, cap_xs, cap_hot,
+                cap_r, cap_s, cap_hot, colocated=True,
             )
-        elif engine == "overlap" and overlap_key_words(rd, field) is not None:
+        elif engine == "overlap" and (
+            overlap_key_words(rd, field) is not None
+            and overlap_key_words(sd, field) is not None
+            and len(overlap_key_words(rd, field))
+            == len(overlap_key_words(sd, field))
+        ):
             from ..parallel.overlap import overlapped_join_local
 
             oj_chunks = max(cfg.shuffle_nchunks, 2)
-            chunk_cap = -(-cap_xs // oj_chunks)
             _, _, hjn_g, hj_ovf = overlapped_join_local(
                 rd, nur, sd, nus, field, cfg, ndev, ax,
-                cap_xr, chunk_cap * oj_chunks, chunk_cap, oj_chunks,
+                cap_r, cap_s, -(-cap_s // oj_chunks), oj_chunks,
+                colocated=True,
             )
         else:
             _, _, hjn = hash_join_count_impl(

@@ -42,9 +42,13 @@ _TARGET_MEAN = 16
 _BUCKET_SLACK = 8
 
 
-def _bucket_layout(n_build: int) -> tuple[int, int, int]:
+def _bucket_layout(n_rows: int) -> tuple[int, int, int]:
+    """Bucket count/capacity for the LARGER side: sizing from build alone
+    guarantees probe-side overflow (and a silent always-fallback engine)
+    whenever mean probe keys per bucket = _TARGET_MEAN * n_probe / n_build
+    exceeds the capacity — so callers pass max(n_build, n_probe)."""
     b = 1
-    while b * _TARGET_MEAN < max(n_build, 1):
+    while b * _TARGET_MEAN < max(n_rows, 1):
         b *= 2
     cap_b = _BUCKET_SLACK * _TARGET_MEAN
     return b, cap_b, b * cap_b
@@ -100,7 +104,7 @@ def _bucketed_matched(
 ) -> tuple[jax.Array, jax.Array]:
     """(matched bool[P] in probe order, overflow count)."""
     npr = pkey.shape[0]
-    nbuckets, cap_b, _ = _bucket_layout(int(bkey.shape[0]))
+    nbuckets, cap_b, _ = _bucket_layout(max(int(bkey.shape[0]), npr))
     table, table_occ, ovf_b = _bucket_table(bkey, b_active, nbuckets, cap_b)
 
     # probe side: bucket-major order, then compare each probe key against

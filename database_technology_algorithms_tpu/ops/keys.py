@@ -108,28 +108,32 @@ _FNV_BASIS = np.uint32(2166136261)
 
 
 def hash_words(
-    words: list[jax.Array], seed: int = 0, skip_zero_tail: bool = False
+    words: list[jax.Array], seed: int = 0, skip_zero_from: int | None = None
 ) -> jax.Array:
     """FNV-1a-style u32 hash over key words, with a final avalanche mix.
 
     Used by the hash join and the hash-partitioned shuffle.  Deterministic
     across chips (pure integer ops) so partitioning is reproducible.
 
-    ``skip_zero_tail`` makes the hash **storage-width invariant** for
-    NUL-normalized string words: a fully-zero word can only occur after the
-    terminator (mid-string words always contain a nonzero byte), so zero
-    words are exactly the trailing padding and skipping them yields the
-    same hash whether a key is stored in 2 or 32 words.  Required whenever
-    the two sides of a join may carry different static widths.
+    ``skip_zero_from=k`` makes the hash **storage-width invariant** for
+    NUL-normalized STRING words at indices >= k: among those words a
+    fully-zero word can only occur after the terminator (mid-string words
+    always contain a nonzero byte), so zero words are exactly the trailing
+    padding and skipping them yields the same hash whether a key is stored
+    in 2 or 32 words.  Required whenever the two sides of a join may carry
+    different static widths.  Words BEFORE index k (e.g. the num plane of
+    field '3', where 0 is a legal value) are always hashed; ``None``
+    disables skipping entirely.
     """
     h = _FNV_BASIS ^ jnp.uint32(seed * 0x9E3779B9)
-    for w in words:
+    for i, w in enumerate(words):
         w = w.astype(jnp.uint32)
         hw = (h ^ (w & 0xFF)) * _FNV_PRIME
         hw = (hw ^ ((w >> 8) & 0xFF)) * _FNV_PRIME
         hw = (hw ^ ((w >> 16) & 0xFF)) * _FNV_PRIME
         hw = (hw ^ (w >> 24)) * _FNV_PRIME
-        h = jnp.where(w == 0, h, hw) if skip_zero_tail else hw
+        skip = skip_zero_from is not None and i >= skip_zero_from
+        h = jnp.where(w == 0, h, hw) if skip else hw
     # murmur3 finalizer for avalanche
     h = h ^ (h >> 16)
     h = h * jnp.uint32(0x85EBCA6B)
@@ -141,8 +145,9 @@ def hash_words(
 
 def key_hash(batch: RecordBatch, field, seed: int = 0) -> jax.Array:
     """u32 hash of each row's full key, invariant to the stored strw width."""
-    return hash_words(
-        key_words(batch, field, nwords=None),
-        seed=seed,
-        skip_zero_tail=uses_strings(field),
-    )
+    field = canonical_field(field)
+    # width invariance only applies to the string planes; field '3' leads
+    # with the num word, where 0 is a legal key value and must always hash
+    skip = (1 if field == FIELD_NUMSTR else 0) if uses_strings(field) else None
+    return hash_words(key_words(batch, field, nwords=None), seed=seed,
+                      skip_zero_from=skip)

@@ -80,12 +80,12 @@ def place_words_2d(
     1M rows): a 2-operand [N,4] replicated-key sort costs 14.6 ms vs
     1.12 ms for the flat [N] 2-operand sort — XLA's TPU sort pays ~13x per
     batched column, so 35 words cost 73-131 ms here vs 17 ms through
-    place35's grouped 1-D sorts.  Kept as the documented alternative (and
-    for backends where batched-column sorts vectorize); place35 remains the
-    production materializer.
+    grouped 1-D sorts.  Kept as the documented alternative (and for
+    backends where batched-column sorts vectorize); place_grouped remains
+    the production materializer.
 
     With `cnt`, rows placed at positions >= cnt are zeroed (the static-
-    capacity live-count convention, same as place35).
+    capacity live-count convention, same as place_grouped).
     """
     n = dest.shape[0]
     w = len(words)
@@ -104,36 +104,19 @@ def place_words_2d(
     return tuple(outs)
 
 
-def place35(dest: jax.Array, cnt: jax.Array, *words: jax.Array):
-    """The 35-word record materializer as ONE jittable program.
-
-    Five identical-signature 8-operand placement sorts (identical unrolled
-    sorts compile cheaply — ~25 s for all five vs ~80 s for one alone at
-    the remote compile service) + live-count zeroing.  Shared by the staged
-    pipeline and the per-op materializers so every caller reuses one
-    executable (each extra host dispatch through the tunnel costs ~12 ms).
-    """
-    n = dest.shape[0]
-    live = jnp.arange(n, dtype=jnp.int32) < cnt
-    outs: list[jax.Array] = []
-    for base in range(0, len(words), PLACE_GROUP):
-        res = jax.lax.sort(
-            (dest,) + tuple(words[base : base + PLACE_GROUP]), num_keys=1
-        )
-        outs.extend(jnp.where(live, w, 0) for w in res[1:])
-    return tuple(outs)
-
-
 @jax.jit
 def place_group(dest: jax.Array, cnt: jax.Array, *words: jax.Array):
     """One placement-sort group (<= PLACE_GROUP payload words) as its own
     jitted program, with live-count zeroing.
 
     The compile service on the round-2 machine reproducibly WEDGES (>25 min,
-    twice) on the five-sorts-in-one-program form (``place35``) while single
-    smaller programs compile; the grouped form costs 4 extra host dispatches
-    per materialization, which queue asynchronously (~free), and compiles
-    one executable per distinct word count (7-word and tail).
+    twice) on an all-groups-in-one-program materializer while single
+    smaller programs compile; the grouped form costs a few extra host
+    dispatches per materialization, which queue asynchronously (~free), and
+    compiles one executable per distinct word count (7-word and tail).
+    (The one-program form, place35, was removed in r4: superseded by
+    narrow-width storage — the materializer is one group now — and kept
+    alive only by its own equality test.)
     """
     n = dest.shape[0]
     live = jnp.arange(n, dtype=jnp.int32) < cnt

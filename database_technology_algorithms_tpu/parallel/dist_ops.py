@@ -100,11 +100,11 @@ def distribute(mesh: Mesh, cols: dict, rows_per_chip: int | None = None) -> Dist
 
 def collect(table: DistTable) -> dict:
     """Gather a DistTable back to compacted host columns (tests/IO)."""
-    counts = np.asarray(table.count)
+    counts = np.asarray(table.count).reshape(-1)
     per = table.rows_per_chip
     cols = table.batch.to_numpy()
     keep = np.concatenate(
-        [np.arange(d * per, d * per + counts[d]) for d in range(len(counts))]
+        [np.arange(d * per, d * per + int(counts[d])) for d in range(len(counts))]
     ) if len(counts) else np.zeros(0, np.int64)
     return {k: v[keep] for k, v in cols.items()}
 

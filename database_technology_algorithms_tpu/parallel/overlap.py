@@ -167,6 +167,64 @@ def _partition_words_to_slots(
     return placed, slot, send_counts, overflow
 
 
+def _overlapped_join_colocated(
+    bb: RecordBatch,
+    bc: jax.Array,
+    pb: RecordBatch,
+    pc: jax.Array,
+    field,
+    cfg: EngineConfig,
+    ax,
+    nw_b: list,
+    nw_p: list,
+    nchunks: int,
+):
+    """Colocated-input body: identical chunked membership probe, zero
+    exchanges (every all_to_all would be an identity).  See
+    overlapped_join_local(colocated=True)."""
+    nw = len(nw_b)
+    nb = bb.nrows
+    pos_b = jnp.arange(nb, dtype=jnp.int32)
+    live_b = pos_b < bc
+    dead_w = (~live_b).astype(jnp.uint32)
+    bsort = jax.lax.sort((dead_w,) + tuple(nw_b), num_keys=1 + nw)
+    bkeys = [jnp.where(pos_b < bc, w, U32_MAX) for w in bsort[1:]]
+
+    npr = pb.nrows
+    chunk = -(-npr // max(nchunks, 1))
+    m = chunk * max(nchunks, 1)
+    pw = [
+        jnp.concatenate([w, jnp.full((m - npr,), U32_MAX, w.dtype)])
+        for w in nw_p
+    ]
+    live_all = jnp.arange(m, dtype=jnp.int32) < pc
+    cnt_chunks = []
+    for c in range(max(nchunks, 1)):
+        sl = slice(c * chunk, (c + 1) * chunk)
+        k = [w[sl] for w in pw]
+        live_c = live_all[sl]
+        if nw == 1:
+            pos = jnp.searchsorted(bkeys[0], k[0])
+            hit = (
+                (pos < bc)
+                & (jnp.take(bkeys[0], pos, mode="clip") == k[0])
+                & live_c
+            )
+            cnts = hit.astype(jnp.uint32)
+        else:
+            cnts = _member_multiword(bkeys, bc, k, live_c)
+        cnt_chunks.append(cnts)
+    mult = jnp.concatenate(cnt_chunks)[:npr]
+    matched = mult > 0
+
+    out, nres_rows = compact(pb, matched, cfg)
+    if canonical_field(field) == 3:
+        nres = jax.lax.psum(jnp.sum(mult, dtype=jnp.int32), ax)
+    else:
+        nres = jax.lax.psum(nres_rows, ax)
+    return out, nres_rows, nres, jnp.int32(0)
+
+
 def overlapped_join_local(
     bb: RecordBatch,
     bc: jax.Array,
@@ -180,21 +238,34 @@ def overlapped_join_local(
     cap_p: int,
     chunk_cap: int,
     nchunks: int,
+    colocated: bool = False,
 ):
     """Per-chip body of the overlapped key-only semi-join (INSIDE shard_map).
 
     Exposed for composed plans (models/pipeline.make_dist_pipeline with
     dist_join_engine="overlap"); ``dist_hash_join_overlapped`` is the
     standalone wrapper.  Returns (probe_out, cnt, nres, overflow).
+
+    ``colocated=True`` declares the inputs ALREADY hash-partitioned by key:
+    all three exchanges (build keys out, probe keys out, mask back) would
+    route every element to its own chip, so they are elided — the same
+    chunked membership probe runs against the local build key set, and the
+    cap_* slot sizing (which would otherwise cost ndev*(nrow+slack) rows
+    per chip just to self-route) is bypassed entirely (ADVICE r3 #2).
     """
     a2a = lambda x: jax.lax.all_to_all(x, ax, 0, 0, tiled=True)
     nw_b = overlap_key_words(bb, field)
     nw_p = overlap_key_words(pb, field)
-    assert nw_b is not None and len(nw_b) == len(nw_p), (
+    assert nw_b is not None and nw_p is not None and len(nw_b) == len(nw_p), (
         "overlapped join needs short-word keys on both sides; "
         "use dist_hash_join for wide strings"
     )
     nw = len(nw_b)
+
+    if colocated:
+        return _overlapped_join_colocated(
+            bb, bc, pb, pc, field, cfg, ax, nw_b, nw_p, nchunks
+        )
 
     # ---- build: key-only shuffle, one sorted unique key array ----
     bdest = key_hash(bb, field) % jnp.uint32(ndev)
@@ -326,9 +397,11 @@ def dist_hash_join_overlapped(
         run, 1, max(per_b, per_p), max_retries=6, stats=stats
     )
     if stats is not None:
-        # key-only traffic: 4 B per build key + 4 B per probe key each way
-        # + 4 B mask back (vs 137 B/row in the barrier join)
-        b = (per_b + 2 * per_p) * ndev * 4
+        # key-only traffic: each exchanged key is len(kb) u32 word planes
+        # (1 for fields 0/1, 2-3 for narrow string fields); the returning
+        # match mask stays one word per probe key (vs 137 B/row barrier)
+        nw = len(kb)
+        b = (per_b * nw + per_p * nw + per_p) * ndev * 4
         stats.rows_in += (per_b + per_p) * ndev
         stats.nres = int(nres)
         stats.bytes_ici += b

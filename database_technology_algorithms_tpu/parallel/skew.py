@@ -103,6 +103,7 @@ def skew_join_local(
     cap_b: int,
     cap_p: int,
     cap_hot: int,
+    colocated: bool = False,
 ):
     """Per-chip body of the skew-resistant semi-join (runs INSIDE shard_map).
 
@@ -111,6 +112,12 @@ def skew_join_local(
     of the pipeline; ``dist_hash_join_skew`` is the standalone wrapper.
     Returns (probe_out, cnt, nres, overflow, n_hot) — per-chip probe_out/cnt,
     psum'd scalars.
+
+    ``colocated=True`` declares the inputs ALREADY hash-partitioned by key
+    (every row's shuffle destination is its own chip): the cold-path
+    exchange is then an identity and is skipped, keeping per-chip buffers
+    at nrow instead of the ndev*(nrow+slack) a routed-to-self shuffle
+    would allocate (the composed pipeline's cross-check case).
     """
     nb, npr = bb.nrows, pb.nrows
     b_active = jnp.arange(nb) < bc
@@ -170,10 +177,16 @@ def skew_join_local(
     pcold, pcold_n = compact(pb, p_active & ~p_hot, cfg)
     # remember original probe index through shuffle? not needed: matched
     # cold rows are emitted on the destination chip.
-    bdest = key_hash(bcold, field) % jnp.uint32(ndev)
-    pdest = key_hash(pcold, field) % jnp.uint32(ndev)
-    brecv, btot, ovf1 = shuffle(bcold, bcold_n, bdest, ax, ndev, cap_b, cfg)
-    precv, ptot, ovf2 = shuffle(pcold, pcold_n, pdest, ax, ndev, cap_p, cfg)
+    if colocated:
+        # equal keys already share a chip: the shuffle would route every
+        # row to itself — skip it (exact, and O(ndev) less buffer memory)
+        brecv, btot, ovf1 = bcold, bcold_n, jnp.int32(0)
+        precv, ptot, ovf2 = pcold, pcold_n, jnp.int32(0)
+    else:
+        bdest = key_hash(bcold, field) % jnp.uint32(ndev)
+        pdest = key_hash(pcold, field) % jnp.uint32(ndev)
+        brecv, btot, ovf1 = shuffle(bcold, bcold_n, bdest, ax, ndev, cap_b, cfg)
+        precv, ptot, ovf2 = shuffle(pcold, pcold_n, pdest, ax, ndev, cap_p, cfg)
     matched_cold, _, _ = hash_join_count_impl(
         brecv, precv, field, cfg, build_count=btot, probe_count=ptot
     )
@@ -228,10 +241,12 @@ def dist_hash_join_skew(
         check_vma=False,
     )
     def step(bb, bc, pb, pc):
+        # skew_join_local already returns cnt shaped (1,) per chip — the
+        # shard_map row spec concatenates to a uniform (ndev,) DistTable.count
         out, cnt, nres, ovf, n_hot = skew_join_local(
             bb, bc[0], pb, pc[0], field, cfg, ndev, ax, cap_b, cap_p, cap_hot
         )
-        return out, cnt[None].astype(jnp.int32), nres, ovf, n_hot
+        return out, cnt, nres, ovf, n_hot
 
     from ..ops._jit import resilient_jit
 

@@ -163,6 +163,9 @@ def test_skew_join_zipf(rng, mesh):
     assert int(n_hot) >= 1
     _, _, m_nres = M.model_hash_join(build, probe, 1)
     assert int(nres) == m_nres
+    # DistTable.count must be uniformly (ndev,) — the r3 standalone wrapper
+    # double-wrapped it to (ndev, 1), breaking collect() on future NumPy
+    assert out.count.shape == (len(mesh.devices.flat),)
     # emitted rows: multiset of matched probe rows
     got = collect(out)
     m_matched, _, _ = M.model_hash_join(build, probe, 1)

@@ -187,6 +187,50 @@ def test_pipeline_distributed_join_engines(rng, engine):
         assert int(out[k]) == int(single[k]), (engine, k)
 
 
+@pytest.mark.parametrize("engine", ["skew", "overlap"])
+def test_pipeline_engines_string_field(rng, engine):
+    """Cross-check engines on a narrow string field ('3'): the overlap
+    engine exchanges 3 u32 word planes, the skew engine hashes full keys;
+    both must equal the single-chip counters."""
+    mesh = make_mesh()
+    c1 = _zipf_cols(1200, 60, seed=41)
+    c2 = _zipf_cols(1200, 60, seed=42)
+    t1, t2 = distribute(mesh, c1), distribute(mesh, c2)
+    cfg = EngineConfig(shuffle_slack=3.0, dist_join_engine=engine)
+    step = make_dist_pipeline(mesh, 3, cfg)
+    out = step(t1.batch, t1.count, t2.batch, t2.count)
+    assert int(out["overflow"]) == 0
+    single = pipeline_single(M.to_batch(c1), M.to_batch(c2), 3, cfg)
+    for k in ("nunique_r", "nunique_s", "merge_nres", "hash_nres"):
+        assert int(out[k]) == int(single[k]), (engine, k)
+
+
+def test_pipeline_overlap_asymmetric_width_falls_back(rng):
+    """ADVICE r3 #1: engine="overlap" with R storing 2 string words but S
+    storing a wider bucket must fall back to the sorted engine (not
+    TypeError at trace time) and stay exact."""
+    mesh = make_mesh()
+    c1 = _zipf_cols(800, 50, seed=51)  # 5-char strings -> 2-word bucket
+    g = np.random.default_rng(52)
+    n = 800
+    strs = np.zeros((n, 16), np.uint8)
+    strs[:, :12] = g.integers(97, 123, size=(n, 12), dtype=np.uint8)
+    c2 = {
+        "recid": np.arange(n, dtype=np.uint32),
+        "num": g.integers(0, 50, n, dtype=np.uint32).astype(np.uint32),
+        "strs": strs,  # 12-char strings -> 4-word bucket
+        "valid": np.ones(n, bool),
+    }
+    t1, t2 = distribute(mesh, c1), distribute(mesh, c2)
+    cfg = EngineConfig(shuffle_slack=3.0, dist_join_engine="overlap")
+    step = make_dist_pipeline(mesh, 2, cfg)
+    out = step(t1.batch, t1.count, t2.batch, t2.count)
+    assert int(out["overflow"]) == 0
+    single = pipeline_single(M.to_batch(c1), M.to_batch(c2), 2, cfg)
+    for k in ("nunique_r", "nunique_s", "merge_nres", "hash_nres"):
+        assert int(out[k]) == int(single[k]), k
+
+
 def test_pipeline_distributed_aggregate_values(rng):
     """Two-phase aggregation: merged partial (count,sum) across chips must
     equal the single-chip per-group aggregates as multisets."""

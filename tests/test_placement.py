@@ -225,22 +225,24 @@ def test_place_words_2d_live_count_zeroing(rng):
         np.testing.assert_array_equal(np.asarray(o), expect)
 
 
-def test_place_grouped_matches_place35(rng):
-    from database_technology_algorithms_tpu.ops.movement import (
-        place35,
-        place_grouped,
-    )
+def test_place_grouped_model(rng):
+    """place_grouped (the production materializer) against the numpy model:
+    out[dest[i]] = word[i], positions >= cnt zeroed, across group
+    boundaries (7-word groups + tail)."""
+    from database_technology_algorithms_tpu.ops.movement import place_grouped
 
     n = 640
     cnt = 200
     dest = rng.permutation(n).astype(np.uint32)
     words = [rng.integers(0, 2**32, n, dtype=np.uint32) for _ in range(33)]
     jwords = [jnp.asarray(w) for w in words]
-    a = place35(jnp.asarray(dest), jnp.int32(cnt), *jwords)
     b = place_grouped(jnp.asarray(dest), jnp.int32(cnt), jwords)
-    assert len(a) == len(b) == 33
-    for x, y in zip(a, b):
-        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+    assert len(b) == 33
+    for w, o in zip(words, b):
+        expect = np.empty(n, np.uint32)
+        expect[dest] = w
+        expect[cnt:] = 0
+        np.testing.assert_array_equal(np.asarray(o), expect)
 
 
 def test_bucketed_join_engine_equals_generic(rng):
