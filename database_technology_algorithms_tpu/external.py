@@ -347,6 +347,209 @@ def external_sort(
     store.cleanup()
 
 
+# ---------------------------------------------------------------------------
+# external (bounded-memory) joins
+# ---------------------------------------------------------------------------
+
+
+def _chunk_key_bounds(cols: dict, field) -> tuple[tuple, tuple]:
+    """(min_key, max_key) of a key-sorted chunk as comparable tuples."""
+    first = tuple(_np_key_words({k: v[:1] for k, v in cols.items()}, field)[0])
+    last = tuple(_np_key_words({k: v[-1:] for k, v in cols.items()}, field)[0])
+    return first, last
+
+
+def _pad_chunk(cols: dict, cap: int) -> tuple[RecordBatch, int]:
+    """Pad host columns to a cap-row device batch (+ live count).
+
+    Fixed capacity keeps the per-pair join executable count small (one per
+    (cap, stored-width) signature); the live count marks real rows under
+    the engine's static-capacity convention.
+    """
+    n = len(cols["recid"])
+    assert n <= cap, (n, cap)
+
+    def pad(a):
+        a = np.asarray(a)
+        out = np.zeros((cap,) + a.shape[1:], a.dtype)
+        out[:n] = a
+        return out
+
+    batch = RecordBatch.from_numpy(
+        pad(cols["recid"]), pad(cols["num"]), pad(cols["strs"]),
+        pad(cols.get("valid", np.ones(n, bool))), normalize=False,
+    )
+    return batch, n
+
+
+def _stream_semi_join(
+    emit_chunks: Iterator[dict],
+    member_chunks: Iterator[dict],
+    field,
+    cfg: EngineConfig,
+    cap: int,
+    stats: OperatorStats,
+) -> Iterator[dict]:
+    """Merge-cursor semi-join over two KEY-ORDERED host chunk streams.
+
+    Yields, in the emit stream's (global key) order, the emit-stream rows
+    whose key appears in the member stream.  Contract: the member stream is
+    globally DISTINCT on the key (each key lives in exactly one member
+    chunk, so a per-chunk-pair membership test plus an OR-accumulated mask
+    is exact); the emit stream is merely sorted.  This is the bounded-
+    memory heir of the reference's ring-buffer two-pointer merge
+    (``DatabaseProject.cpp:406-494``): at most one chunk of each stream is
+    resident, and each device call sees <= 2*cap rows.
+
+    Advance rule: after testing the current pair, the side whose max key
+    is smaller cannot match anything later on the other side — flush (emit
+    side) or drop (member side) and pull its next chunk.
+    """
+    from .ops.hash_join import hash_join_count
+
+    ea = next(emit_chunks, None)
+    mb = next(member_chunks, None)
+    mask = None if ea is None else np.zeros(len(ea["recid"]), bool)
+
+    def flush(cols, m):
+        stats.rows_out += int(m.sum())
+        stats.nres += int(m.sum())
+        if m.any():
+            return {k: np.asarray(v)[m] for k, v in cols.items()}
+        return None
+
+    while ea is not None:
+        n_e = len(ea["recid"])
+        if mb is None:
+            # member stream exhausted: nothing further can match
+            out = flush(ea, mask)
+            if out is not None:
+                yield out
+            ea = next(emit_chunks, None)
+            mask = None if ea is None else np.zeros(len(ea["recid"]), bool)
+            continue
+        e_min, e_max = _chunk_key_bounds(ea, field)
+        m_min, m_max = _chunk_key_bounds(mb, field)
+        if e_max < m_min or m_max < e_min:
+            # disjoint key ranges: skip the device call entirely
+            pass
+        else:
+            eb_dev, en = _pad_chunk(ea, cap)
+            mb_dev, mn = _pad_chunk(mb, cap)
+            stats.peak_range_rows = max(stats.peak_range_rows, en + mn)
+            stats.bytes_hbm += sum(
+                int(np.asarray(v).nbytes) for v in (*ea.values(), *mb.values())
+            )
+            matched, _, _ = hash_join_count(
+                mb_dev, eb_dev, field, cfg,
+                build_count=mn, probe_count=en,
+            )
+            mask |= np.asarray(matched)[:n_e]
+        if e_max <= m_max:
+            out = flush(ea, mask)
+            if out is not None:
+                yield out
+            ea = next(emit_chunks, None)
+            mask = None if ea is None else np.zeros(len(ea["recid"]), bool)
+        else:
+            mb = next(member_chunks, None)
+
+
+def external_merge_join(
+    r_chunks: Iterator[dict] | Callable[[], Iterator[dict]],
+    s_chunks: Iterator[dict] | Callable[[], Iterator[dict]],
+    field,
+    spill_dir: str,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    mem_rows: int | None = None,
+    stats: OperatorStats | None = None,
+) -> Iterator[dict]:
+    """External MergeJoin: bounded-memory sort→distinct→intersect pipeline.
+
+    The reference MergeJoin is external end-to-end: EliminateDuplicates on
+    both inputs, then a two-pointer merge over the two sorted-distinct
+    FILES through an nmem_blocks-bounded buffer ring, emitting the R-side
+    record of each matched key (``DatabaseProject.cpp:384-502``; contract
+    ``dbtproj.h:70-76``).  Here both inputs run through
+    ``external_sort(distinct=True)`` (spill segments + manifest, resumable)
+    and the two key-ordered streams meet in a chunk-pair merge cursor
+    (:func:`_stream_semi_join`): each side holds one <= mem_rows/2 chunk,
+    so device residency never exceeds ``mem_rows`` rows regardless of
+    input size.
+
+    Yields matched R rows in global key order.  Stats: ``nres`` pairs,
+    ``nunique_r``/``nunique_s`` (the EliminateDuplicates counters),
+    ``peak_range_rows`` <= mem_rows.
+    """
+    stats = stats if stats is not None else OperatorStats(op="external_merge_join")
+    mem_rows = mem_rows or cfg.mem_rows
+    cap = max(mem_rows // 2, 1)
+    st_r = OperatorStats(op="external_sort_r")
+    st_s = OperatorStats(op="external_sort_s")
+    r_sorted = external_sort(
+        r_chunks, field, os.path.join(spill_dir, "r"), cfg,
+        mem_rows=cap, stats=st_r, distinct=True,
+    )
+    s_sorted = external_sort(
+        s_chunks, field, os.path.join(spill_dir, "s"), cfg,
+        mem_rows=cap, stats=st_s, distinct=True,
+    )
+    t = Timer()
+    yield from _stream_semi_join(r_sorted, s_sorted, field, cfg, cap, stats)
+    stats.nunique = st_r.rows_out
+    stats.nunique_r = st_r.rows_out
+    stats.nunique_s = st_s.rows_out
+    stats.nsorted_segs = st_r.nsorted_segs + st_s.nsorted_segs
+    stats.npasses = max(st_r.npasses, st_s.npasses) + 1
+    stats.rows_in = st_r.rows_in + st_s.rows_in
+    stats.bytes_host += st_r.bytes_host + st_s.bytes_host
+    stats.wall_s = t.stop()
+
+
+def external_hash_join(
+    build_chunks: Iterator[dict] | Callable[[], Iterator[dict]],
+    probe_chunks: Iterator[dict] | Callable[[], Iterator[dict]],
+    field,
+    spill_dir: str,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    mem_rows: int | None = None,
+    stats: OperatorStats | None = None,
+) -> Iterator[dict]:
+    """External HashJoin: bounded-memory semi-join emitting probe rows.
+
+    The reference HashJoin ignores its nmem_blocks contract — the build
+    table grows without bound (``DatabaseProject.cpp:510-548``; SURVEY §2
+    C7) — so the external form is a capability the reference claims but
+    does not have.  Semantics follow the reference driver's actual use
+    (HashJoin over dedup'd inputs, ``main.cpp:121``): the build side
+    collapses to a key SET via ``external_sort(distinct=True)``; the probe
+    side is only sorted (multiplicity preserved), and matched probe rows
+    stream out in probe-key order.  Same bounded residency as
+    :func:`external_merge_join`: one chunk per stream, <= mem_rows rows on
+    device per membership call.
+    """
+    stats = stats if stats is not None else OperatorStats(op="external_hash_join")
+    mem_rows = mem_rows or cfg.mem_rows
+    cap = max(mem_rows // 2, 1)
+    st_b = OperatorStats(op="external_sort_build")
+    st_p = OperatorStats(op="external_sort_probe")
+    b_sorted = external_sort(
+        build_chunks, field, os.path.join(spill_dir, "b"), cfg,
+        mem_rows=cap, stats=st_b, distinct=True,
+    )
+    p_sorted = external_sort(
+        probe_chunks, field, os.path.join(spill_dir, "p"), cfg,
+        mem_rows=cap, stats=st_p, distinct=False,
+    )
+    t = Timer()
+    yield from _stream_semi_join(p_sorted, b_sorted, field, cfg, cap, stats)
+    stats.nsorted_segs = st_b.nsorted_segs + st_p.nsorted_segs
+    stats.npasses = max(st_b.npasses, st_p.npasses) + 1
+    stats.rows_in = st_b.rows_in + st_p.rows_in
+    stats.bytes_host += st_b.bytes_host + st_p.bytes_host
+    stats.wall_s = t.stop()
+
+
 def _distinct_chunk(cols: dict, field, cfg: EngineConfig) -> dict:
     batch = RecordBatch.from_numpy(
         cols["recid"], cols["num"], cols["strs"], cols.get("valid"),

@@ -95,18 +95,8 @@ def read_blockfile(path: str, prefer_native: bool = True) -> RecordBatch:
     )
 
 
-def write_blockfile(path: str, batch_or_cols, full_header: bool = True) -> int:
-    """Write SoA columns back out as reference-format blocks.
-
-    Returns the number of blocks written.  ``full_header=True`` writes honest
-    ``nreserved`` for the final partial block (unlike reference MergeJoin,
-    which claims MAX_RECORDS_PER_BLOCK even for partial tails,
-    ``DatabaseProject.cpp:439,489``).
-    """
-    if isinstance(batch_or_cols, RecordBatch):
-        cols = batch_or_cols.to_numpy()
-    else:
-        cols = batch_or_cols
+def _encode_blocks(cols: dict, start_blockid: int, full_header: bool) -> np.ndarray:
+    """Encode SoA columns as an array of reference-format blocks."""
     recid = np.asarray(cols["recid"], dtype=np.uint32)
     num = np.asarray(cols["num"], dtype=np.uint32)
     strs = np.asarray(cols["strs"], dtype=np.uint8)
@@ -128,7 +118,9 @@ def write_blockfile(path: str, batch_or_cols, full_header: bool = True) -> int:
         entries["num"] = padcol(num)
         entries["str"] = padcol(strs[:, :STR_LENGTH], (STR_LENGTH,))
         entries["valid"] = padcol(valid.astype(np.uint8))
-        blocks["blockid"] = np.arange(nblocks, dtype=np.uint32)
+        blocks["blockid"] = np.arange(
+            start_blockid, start_blockid + nblocks, dtype=np.uint32
+        )
         counts = np.full(nblocks, MAX_RECORDS_PER_BLOCK, dtype=np.uint32)
         if n % MAX_RECORDS_PER_BLOCK and full_header:
             counts[-1] = n % MAX_RECORDS_PER_BLOCK
@@ -140,5 +132,75 @@ def write_blockfile(path: str, batch_or_cols, full_header: bool = True) -> int:
         # merge loop never terminates).
         blocks["dummy"] = counts
         blocks["valid"] = 1
+    return blocks
+
+
+def write_blockfile(path: str, batch_or_cols, full_header: bool = True) -> int:
+    """Write SoA columns back out as reference-format blocks.
+
+    Returns the number of blocks written.  ``full_header=True`` writes honest
+    ``nreserved`` for the final partial block (unlike reference MergeJoin,
+    which claims MAX_RECORDS_PER_BLOCK even for partial tails,
+    ``DatabaseProject.cpp:439,489``).
+    """
+    if isinstance(batch_or_cols, RecordBatch):
+        cols = batch_or_cols.to_numpy()
+    else:
+        cols = batch_or_cols
+    blocks = _encode_blocks(cols, 0, full_header)
     blocks.tofile(path)
-    return nblocks
+    return len(blocks)
+
+
+class BlockFileWriter:
+    """Streaming block-file writer: append column chunks, bounded memory.
+
+    The external drivers' output sink — holds at most one partial block
+    between appends (the reference ring-buffer's single buffered output
+    block, ``DatabaseProject.cpp:433-443``), so a join/sort result larger
+    than RAM streams straight to disk.
+    """
+
+    def __init__(self, path: str, full_header: bool = True):
+        self.f = open(path, "wb")
+        self.full_header = full_header
+        self.blockid = 0
+        self.nrows = 0
+        self._tail: dict | None = None  # pending partial-block rows
+
+    def append(self, cols: dict) -> None:
+        n = len(cols["recid"])
+        if n == 0:
+            return
+        self.nrows += n
+        if self._tail is not None:
+            cols = {
+                k: np.concatenate([self._tail[k], np.asarray(cols[k])])
+                for k in self._tail
+            }
+            self._tail = None
+        total = len(cols["recid"])
+        full = (total // MAX_RECORDS_PER_BLOCK) * MAX_RECORDS_PER_BLOCK
+        if full:
+            head = {k: np.asarray(v)[:full] for k, v in cols.items()}
+            blocks = _encode_blocks(head, self.blockid, self.full_header)
+            blocks.tofile(self.f)
+            self.blockid += len(blocks)
+        if total > full:
+            self._tail = {k: np.asarray(v)[full:] for k, v in cols.items()}
+
+    def close(self) -> int:
+        """Flush the final partial block; returns total blocks written."""
+        if self._tail is not None:
+            blocks = _encode_blocks(self._tail, self.blockid, self.full_header)
+            blocks.tofile(self.f)
+            self.blockid += len(blocks)
+            self._tail = None
+        self.f.close()
+        return self.blockid
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()

@@ -29,6 +29,9 @@ class OperatorStats:
     nsorted_segs: int = 0
     npasses: int = 0
     nunique: int = 0
+    # per-side EliminateDuplicates counters (the external joins run two)
+    nunique_r: int = 0
+    nunique_s: int = 0
     nres: int = 0
     # bytes-moved per tier (the nios heir)
     bytes_hbm: int = 0

@@ -87,7 +87,8 @@ def ensure_device_budget(nrows: int, cfg, op: str) -> None:
         raise MemoryBudgetError(
             f"{op}: {nrows} rows exceed the device budget "
             f"cfg.mem_rows={cfg.mem_rows}; route through the external "
-            f"drivers (external.external_sort) or raise the budget"
+            f"drivers (external.external_sort / external_merge_join / "
+            f"external_hash_join) or raise the budget"
         )
 
 
