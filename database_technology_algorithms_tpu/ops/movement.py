@@ -168,6 +168,76 @@ def permute_rows(
     return out
 
 
+def stage_to_cells(
+    dest: jax.Array,
+    active: jax.Array,
+    nparts: int,
+    cap: int,
+    payloads: list[jax.Array],
+) -> tuple[list[jax.Array], jax.Array, jax.Array, jax.Array]:
+    """Stage rows into padded [nparts, cap] cells by destination id.
+
+    The device-side analogue of the external drivers' spill partitioning
+    (and of the shuffle's slot pack): every active row with ``dest[i] <
+    nparts`` lands at cell ``dest[i]``, rank-within-destination order,
+    live rows packed to the FRONT of each cell.  No gathers/scatters —
+    two small rank sorts plus grouped placeholder-pinned placement sorts.
+
+    Returns ``(cells, counts, slot_of_row, overflow)``: ``cells`` is one
+    [nparts*cap] array per payload word (row-major by cell; dead slots
+    zero-filled — liveness comes from ``counts``), ``counts`` the per-cell
+    live counts clamped to cap, ``slot_of_row[i]`` each row's flat slot
+    (= nparts*cap for dropped/inactive rows), ``overflow`` the number of
+    active rows that exceeded their cell's capacity (results for those
+    rows are NOT staged; callers must detect and recover).
+    """
+    from .scan import seg_carry
+
+    n = dest.shape[0]
+    m = nparts * cap
+    iota = jnp.arange(n, dtype=jnp.int32)
+    d = jnp.where(active, dest.astype(jnp.uint32), jnp.uint32(nparts))
+    sd, si = jax.lax.sort((d, iota), num_keys=2)
+    is_start = jnp.concatenate([jnp.ones(1, bool), sd[1:] != sd[:-1]])
+    start = seg_carry(
+        is_start, jnp.where(is_start, iota, 0).astype(jnp.uint32)
+    ).astype(jnp.int32)
+    rank_sorted = iota - start
+    ok_sorted = (sd < jnp.uint32(nparts)) & (rank_sorted < cap)
+    slot_sorted = jnp.where(
+        ok_sorted, sd.astype(jnp.int32) * cap + rank_sorted, m
+    )
+    overflow = jnp.sum(
+        (sd < jnp.uint32(nparts)) & (rank_sorted >= cap), dtype=jnp.int32
+    )
+    counts = jnp.minimum(
+        jnp.diff(
+            jnp.searchsorted(sd, jnp.arange(nparts + 1, dtype=jnp.uint32))
+        ).astype(jnp.int32),
+        cap,
+    )
+    # slot back to original row order (si is a permutation: keys unique)
+    _, slot_of_row = jax.lax.sort((si, slot_sorted), num_keys=1)
+
+    # placeholder-pinned placement: real rows keyed 2*slot, placeholders pin
+    # unoccupied slots at 2*slot+1, dropped rows sink past 2m
+    ok = slot_of_row < m
+    real_key = jnp.where(ok, 2 * slot_of_row, 2 * m + iota).astype(jnp.uint32)
+    j = jnp.arange(m, dtype=jnp.int32)
+    occupied = (j % cap) < counts[j // cap]
+    ph_key = jnp.where(occupied, 2 * m + n + j, 2 * j + 1).astype(jnp.uint32)
+    keys = jnp.concatenate([real_key, ph_key])
+    cells: list[jax.Array] = []
+    for base in range(0, len(payloads), PLACE_GROUP):
+        grp = payloads[base : base + PLACE_GROUP]
+        pay = tuple(
+            jnp.concatenate([w, jnp.zeros((m,), w.dtype)]) for w in grp
+        )
+        out = jax.lax.sort((keys,) + pay, num_keys=1)
+        cells.extend(o[:m] for o in out[1:])
+    return cells, counts, slot_of_row, overflow
+
+
 def sort_words(
     key_words: list[jax.Array],
     payload: tuple[jax.Array, ...] = (),

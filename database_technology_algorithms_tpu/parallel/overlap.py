@@ -79,58 +79,9 @@ def overlap_key_words(batch: RecordBatch, field) -> list | None:
     return sw if f == 2 else [batch.num] + sw
 
 
-def _member_multiword(
-    bwords: list, n_bkeys: jax.Array, kwords: list, live_c: jax.Array
-) -> jax.Array:
-    """Per-chunk-key BUILD MULTIPLICITY against the sorted build key list.
-
-    Multi-word keys have no single searchsorted; instead one small sort of
-    build-keys ++ chunk-keys by (inactive, words..., iota) and a pair of
-    run scans hand every chunk key its run's live-build count — the same
-    trick as ops/hash_join._fused_matched_mult, at chunk granularity.
-    Returns counts (u32, 0 = no match) in chunk order; fields 0-2 read it
-    as a boolean, field '3' sums it for the reference's multimap nres
-    (DatabaseProject.cpp:619-628).
-    """
-    from ..ops.scan import cumsum as _bcumsum, seg_carry
-
-    m = bwords[0].shape[0]
-    c = kwords[0].shape[0]
-    n = m + c
-    pos_b = jnp.arange(m, dtype=jnp.int32)
-    live = jnp.concatenate([pos_b < n_bkeys, live_c])
-    inact = (~live).astype(jnp.uint32)
-    iota = jnp.arange(n, dtype=jnp.int32)
-    ops = (inact,) + tuple(
-        jnp.concatenate([bw, kw]) for bw, kw in zip(bwords, kwords)
-    ) + (iota,)
-    out = jax.lax.sort(ops, num_keys=len(ops))
-    s_words = out[1:-1]
-    perm = out[-1]
-    s_live = out[0] == 0
-    eq_prev = jnp.ones(n - 1, dtype=bool)
-    for w in s_words:
-        eq_prev &= w[1:] == w[:-1]
-    is_start = jnp.concatenate([jnp.ones(1, bool), ~eq_prev])
-    end_flags = jnp.concatenate([is_start[1:], jnp.ones(1, bool)])
-    ab = ((perm < m) & s_live).astype(jnp.int32)
-    cb = _bcumsum(ab)
-    start_excl = seg_carry(
-        is_start, jnp.where(is_start, cb - ab, 0).astype(jnp.uint32)
-    ).astype(jnp.int32)
-    end_incl = jnp.flip(
-        seg_carry(
-            jnp.flip(end_flags),
-            jnp.flip(jnp.where(end_flags, cb, 0).astype(jnp.uint32)),
-        )
-    ).astype(jnp.int32)
-    cnt_sorted = jnp.where(
-        (perm >= m) & s_live, end_incl - start_excl, 0
-    ).astype(jnp.uint32)
-    # back to chunk order: chunk rows' perm values are m..n-1, monotone
-    ord_key = jnp.where(perm >= m, perm, jnp.int32(n)).astype(jnp.uint32)
-    back = jax.lax.sort((ord_key, cnt_sorted), num_keys=1)
-    return back[1][:c]
+# Per-chunk build-multiplicity kernel: shared with the tiled over-budget
+# join — see ops/hash_join.member_multiplicity (moved there in r4).
+from ..ops.hash_join import member_multiplicity as _member_multiword
 
 
 def _partition_words_to_slots(

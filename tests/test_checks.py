@@ -78,3 +78,36 @@ def test_device_memory_budget_gate():
     ok = EngineConfig(mem_rows=1000)
     out, n = distinct_impl(b, 1, ok)
     assert int(n) > 0
+
+
+@pytest.mark.parametrize("field", [1, 3])
+def test_hash_join_over_budget_tiles(rng, field):
+    """hash_join_count beyond cfg.mem_rows ROUTES through device-tiled
+    passes instead of refusing (VERDICT r3 #7): results equal the
+    in-budget kernel and the model at mem_rows << n."""
+    import numpy as np
+
+    import model as M
+    from database_technology_algorithms_tpu.config import EngineConfig
+    from database_technology_algorithms_tpu.ops.hash_join import (
+        hash_join_count_impl,
+    )
+
+    build = M.random_cols(rng, 1700, key_range=200)
+    probe = M.random_cols(rng, 2300, key_range=200)
+    bb, pb = M.to_batch(build), M.to_batch(probe)
+    tiny = EngineConfig(mem_rows=512)  # forces >= 16 tiles
+    matched, mult, nres = hash_join_count_impl(bb, pb, field, tiny)
+    m_matched, m_mult, m_nres = M.model_hash_join(build, probe, field)
+    assert int(nres) == m_nres
+    np.testing.assert_array_equal(np.asarray(matched), np.asarray(m_matched))
+    np.testing.assert_array_equal(np.asarray(mult), np.asarray(m_mult))
+    # live-count convention honored under tiling too
+    matched2, _, nres2 = hash_join_count_impl(
+        bb, pb, field, tiny,
+        build_count=900, probe_count=1100,
+    )
+    build_c = {k: v[:900] for k, v in build.items()}
+    probe_c = {k: v[:1100] for k, v in probe.items()}
+    _, _, m_nres2 = M.model_hash_join(build_c, probe_c, field)
+    assert int(nres2) == m_nres2
