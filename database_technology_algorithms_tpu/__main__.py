@@ -164,7 +164,16 @@ def _pipeline_dist(args, r, s, field) -> int:
         dist_join_engine=getattr(args, "join_engine", "sorted"),
         shuffle_nchunks=getattr(args, "shuffle_chunks", 1),
     )
-    step = make_dist_pipeline(mesh, field, cfg)
+    ckpt_dir = getattr(args, "stage_checkpoints", None)
+    if ckpt_dir:
+        from .models.pipeline import make_dist_pipeline_staged
+
+        step = make_dist_pipeline_staged(
+            mesh, field, cfg, ckpt_dir=ckpt_dir,
+            fail_after=getattr(args, "fail_after_stage", None),
+        )
+    else:
+        step = make_dist_pipeline(mesh, field, cfg)
     if multiproc:
         from .parallel.multihost import distribute_global
 
@@ -178,21 +187,20 @@ def _pipeline_dist(args, r, s, field) -> int:
     jax.block_until_ready(out)
     dt = time.time() - t0
     agree = int(out["merge_nres"]) == int(out["hash_nres"])
-    print(
-        json.dumps(
-            {
-                "mesh_devices": n,
-                "field": field,
-                "merge_join_pairs": int(out["merge_nres"]),
-                "hash_join_pairs": int(out["hash_nres"]),
-                "joins_agree": agree,
-                "nunique_r": int(out["nunique_r"]),
-                "nunique_s": int(out["nunique_s"]),
-                "overflow": int(out["overflow"]),
-                "wall_s": round(dt, 4),
-            }
-        )
-    )
+    rec = {
+        "mesh_devices": n,
+        "field": field,
+        "merge_join_pairs": int(out["merge_nres"]),
+        "hash_join_pairs": int(out["hash_nres"]),
+        "joins_agree": agree,
+        "nunique_r": int(out["nunique_r"]),
+        "nunique_s": int(out["nunique_s"]),
+        "overflow": int(out["overflow"]),
+        "wall_s": round(dt, 4),
+    }
+    if "resumed_stages" in out:
+        rec["resumed_stages"] = out["resumed_stages"]
+    print(json.dumps(rec))
     return 0 if agree and int(out["overflow"]) == 0 else 1
 
 
@@ -436,6 +444,14 @@ def main() -> int:
                          "before a dead peer is detected (failure detection)")
     pp.add_argument("--debug-checks", action="store_true",
                     help="validate batch invariants at ingestion (utils/checks)")
+    pp.add_argument("--stage-checkpoints", default=None, dest="stage_checkpoints",
+                    help="dist runs: materialize each pipeline stage's "
+                         "sharded partitions to this dir (manifest-resumable;"
+                         " a re-run skips completed stages)")
+    pp.add_argument("--fail-after-stage", default=None, dest="fail_after_stage",
+                    choices=["local", "shuffle"],
+                    help="fault injection: die (exit 17) right after the "
+                         "named stage checkpoints")
     pp.set_defaults(fn=cmd_pipeline)
 
     ms = sub.add_parser("mergesort", help="external sort a block file", parents=[common])

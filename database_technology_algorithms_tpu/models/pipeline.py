@@ -311,6 +311,117 @@ def make_pipeline_staged(field: int = 1, cfg: EngineConfig = DEFAULT_CONFIG):
     return run
 
 
+def _dist_caps(nrow_r: int, nrow_s: int, ndev: int, cfg: EngineConfig):
+    cap_r = max(int(nrow_r * cfg.shuffle_slack) // ndev + 1, 64)
+    cap_s = max(int(nrow_s * cfg.shuffle_slack) // ndev + 1, 64)
+    return cap_r, cap_s
+
+
+def _dist_stage_local(rb, rc, sb, sc, field, cfg):
+    """Stage 1 (per-chip, no collectives): filter + local dedup + partial
+    aggregates.  The local-first half of the plan — everything before any
+    row crosses the interconnect."""
+    nrow_r = rb.nrows
+    nrow_s = sb.nrows
+    rf, rcf = compact(rb, rb.valid & (jnp.arange(nrow_r) < rc), cfg)
+    sf, scf = compact(sb, sb.valid & (jnp.arange(nrow_s) < sc), cfg)
+    rloc, nur_loc = distinct_impl(rf, field, cfg, count=rcf)
+    sloc, s_pagg, nus_loc = group_aggregate_impl(
+        sf, field, cfg, count=scf, materialize_reps=True
+    )
+    return rloc, nur_loc, sloc, s_pagg, nus_loc
+
+
+def _dist_stage_shuffle(
+    rloc, nur_loc, sloc, s_pagg, nus_loc, field, cfg, ndev, ax, cap_r, cap_s
+):
+    """Stage 2 (the exchange): one hash-partition all-to-all per table;
+    S's partial aggregates ride as extra words."""
+    from ..parallel.shuffle import shuffle_with_extra
+
+    rdest = key_hash(rloc, field) % jnp.uint32(ndev)
+    sdest = key_hash(sloc, field) % jnp.uint32(ndev)
+    rsh, _, rtot, ovf1 = shuffle_with_extra(
+        rloc, nur_loc, rdest, ax, ndev, cap_r, cfg,
+        nchunks=cfg.shuffle_nchunks,
+    )
+    ssh, s_px, stot, ovf2 = shuffle_with_extra(
+        sloc, nus_loc, sdest, ax, ndev, cap_s, cfg,
+        extra=(
+            s_pagg["count"].astype(jnp.uint32),
+            s_pagg["sum"],
+            s_pagg["min"],
+            s_pagg["max"],
+        ),
+        nchunks=cfg.shuffle_nchunks,
+    )
+    return rsh, rtot, ssh, s_px, stot, ovf1 + ovf2
+
+
+def _dist_stage_join(
+    rsh, rtot, ssh, s_px, stot, field, cfg, ndev, ax, cap_r, cap_s
+):
+    """Stage 3 (colocated): global combine + joins + psum'd counters."""
+    from ..ops.aggregate import combine_group_aggregate_impl
+    from ..parallel.overlap import overlap_key_words
+
+    engine = cfg.dist_join_engine
+    rd, nur = distinct_impl(rsh, field, cfg, count=rtot)
+    sd, aggs, nus = combine_group_aggregate_impl(
+        ssh, field, s_px, cfg, count=stot, materialize_reps=True
+    )
+    mj_out, mjn = join_sorted_distinct_impl(rd, nur, sd, nus, field, cfg)
+
+    # HashJoin cross-check on the dedup'd intermediates (main.cpp:121)
+    # via the configured engine — every engine returns the same count.
+    # The intermediates are ALREADY hash-colocated, so the engines run
+    # with colocated=True: their internal exchanges (which would route
+    # every row to its own chip, forcing ndev*(nrow+slack) slot buffers
+    # per chip and tripping the device-memory gate at larger meshes)
+    # are elided while the detection/probing machinery still runs.
+    if engine == "skew":
+        from ..parallel.skew import skew_join_local
+
+        cap_hot = min(max(2 * ndev * cfg.hh_topk, 64), rd.nrows)
+        _, _, hjn_g, hj_ovf, _ = skew_join_local(
+            rd, nur, sd, nus, field, cfg, ndev, ax,
+            cap_r, cap_s, cap_hot, colocated=True,
+        )
+    elif engine == "overlap" and (
+        overlap_key_words(rd, field) is not None
+        and overlap_key_words(sd, field) is not None
+        and len(overlap_key_words(rd, field))
+        == len(overlap_key_words(sd, field))
+    ):
+        from ..parallel.overlap import overlapped_join_local
+
+        oj_chunks = max(cfg.shuffle_nchunks, 2)
+        _, _, hjn_g, hj_ovf = overlapped_join_local(
+            rd, nur, sd, nus, field, cfg, ndev, ax,
+            cap_r, cap_s, -(-cap_s // oj_chunks), oj_chunks,
+            colocated=True,
+        )
+    else:
+        _, _, hjn = hash_join_count_impl(
+            rd, sd, field, cfg, build_count=nur, probe_count=nus
+        )
+        hjn_g = jax.lax.psum(hjn, ax)
+        hj_ovf = jnp.int32(0)
+
+    return {
+        "nunique_r": jax.lax.psum(nur, ax),
+        "nunique_s": jax.lax.psum(nus, ax),
+        "merge_nres": jax.lax.psum(mjn, ax),
+        "hash_nres": hjn_g,
+        "agg_groups": jax.lax.psum(nus, ax),
+        "join_out": mj_out,
+        "join_counts": mjn[None].astype(jnp.int32),
+        "agg_count": aggs["count"],
+        "agg_sum": aggs["sum"],
+        "overflow": hj_ovf,
+    }
+
+
 def make_dist_pipeline(mesh: Mesh, field: int = 1, cfg: EngineConfig = DEFAULT_CONFIG):
     """Build the jitted multi-chip pipeline step for `mesh`.
 
@@ -335,106 +446,25 @@ def make_dist_pipeline(mesh: Mesh, field: int = 1, cfg: EngineConfig = DEFAULT_C
     cross-check engine (sorted kernel / skew machinery / overlapped
     key-only machinery — all exact; see config.py).
     """
-    from ..ops.aggregate import combine_group_aggregate_impl
-    from ..parallel.overlap import overlap_key_words
-    from ..parallel.shuffle import shuffle_with_extra
-
     ndev = mesh_size(mesh)
     ax = mesh.axis_names if len(mesh.axis_names) > 1 else mesh.axis_names[0]
     row = P(mesh.axis_names)
-    engine = cfg.dist_join_engine
 
     def step(rb, rc, sb, sc):
         rc, sc = rc[0], sc[0]
-        nrow_r = rb.nrows
-        nrow_s = sb.nrows
-        cap_r = max(int(nrow_r * cfg.shuffle_slack) // ndev + 1, 64)
-        cap_s = max(int(nrow_s * cfg.shuffle_slack) // ndev + 1, 64)
-
-        # per-chip filter
-        rf, rcf = compact(rb, rb.valid & (jnp.arange(nrow_r) < rc), cfg)
-        sf, scf = compact(sb, sb.valid & (jnp.arange(nrow_s) < sc), cfg)
-
-        # local-first: per-chip dedup (R) and dedup + partial aggregates (S)
-        rloc, nur_loc = distinct_impl(rf, field, cfg, count=rcf)
-        sloc, s_pagg, nus_loc = group_aggregate_impl(
-            sf, field, cfg, count=scf, materialize_reps=True
+        cap_r, cap_s = _dist_caps(rb.nrows, sb.nrows, ndev, cfg)
+        rloc, nur_loc, sloc, s_pagg, nus_loc = _dist_stage_local(
+            rb, rc, sb, sc, field, cfg
         )
-
-        # one hash-partition all-to-all per table: colocates equal keys;
-        # S's partial aggregates ride as extra words
-        rdest = key_hash(rloc, field) % jnp.uint32(ndev)
-        sdest = key_hash(sloc, field) % jnp.uint32(ndev)
-        rsh, _, rtot, ovf1 = shuffle_with_extra(
-            rloc, nur_loc, rdest, ax, ndev, cap_r, cfg,
-            nchunks=cfg.shuffle_nchunks,
+        rsh, rtot, ssh, s_px, stot, sh_ovf = _dist_stage_shuffle(
+            rloc, nur_loc, sloc, s_pagg, nus_loc,
+            field, cfg, ndev, ax, cap_r, cap_s,
         )
-        ssh, s_px, stot, ovf2 = shuffle_with_extra(
-            sloc, nus_loc, sdest, ax, ndev, cap_s, cfg,
-            extra=(
-                s_pagg["count"].astype(jnp.uint32),
-                s_pagg["sum"],
-                s_pagg["min"],
-                s_pagg["max"],
-            ),
-            nchunks=cfg.shuffle_nchunks,
+        out = _dist_stage_join(
+            rsh, rtot, ssh, s_px, stot, field, cfg, ndev, ax, cap_r, cap_s
         )
-
-        # global combine — inputs hold <= ndev partial rows per key
-        rd, nur = distinct_impl(rsh, field, cfg, count=rtot)
-        sd, aggs, nus = combine_group_aggregate_impl(
-            ssh, field, s_px, cfg, count=stot, materialize_reps=True
-        )
-        mj_out, mjn = join_sorted_distinct_impl(rd, nur, sd, nus, field, cfg)
-
-        # HashJoin cross-check on the dedup'd intermediates (main.cpp:121)
-        # via the configured engine — every engine returns the same count.
-        # The intermediates are ALREADY hash-colocated, so the engines run
-        # with colocated=True: their internal exchanges (which would route
-        # every row to its own chip, forcing ndev*(nrow+slack) slot buffers
-        # per chip and tripping the device-memory gate at larger meshes)
-        # are elided while the detection/probing machinery still runs.
-        if engine == "skew":
-            from ..parallel.skew import skew_join_local
-
-            cap_hot = min(max(2 * ndev * cfg.hh_topk, 64), nrow_r)
-            _, _, hjn_g, hj_ovf, _ = skew_join_local(
-                rd, nur, sd, nus, field, cfg, ndev, ax,
-                cap_r, cap_s, cap_hot, colocated=True,
-            )
-        elif engine == "overlap" and (
-            overlap_key_words(rd, field) is not None
-            and overlap_key_words(sd, field) is not None
-            and len(overlap_key_words(rd, field))
-            == len(overlap_key_words(sd, field))
-        ):
-            from ..parallel.overlap import overlapped_join_local
-
-            oj_chunks = max(cfg.shuffle_nchunks, 2)
-            _, _, hjn_g, hj_ovf = overlapped_join_local(
-                rd, nur, sd, nus, field, cfg, ndev, ax,
-                cap_r, cap_s, -(-cap_s // oj_chunks), oj_chunks,
-                colocated=True,
-            )
-        else:
-            _, _, hjn = hash_join_count_impl(
-                rd, sd, field, cfg, build_count=nur, probe_count=nus
-            )
-            hjn_g = jax.lax.psum(hjn, ax)
-            hj_ovf = jnp.int32(0)
-
-        return {
-            "nunique_r": jax.lax.psum(nur, ax),
-            "nunique_s": jax.lax.psum(nus, ax),
-            "merge_nres": jax.lax.psum(mjn, ax),
-            "hash_nres": hjn_g,
-            "agg_groups": jax.lax.psum(nus, ax),
-            "join_out": mj_out,
-            "join_counts": mjn[None].astype(jnp.int32),
-            "agg_count": aggs["count"],
-            "agg_sum": aggs["sum"],
-            "overflow": ovf1 + ovf2 + hj_ovf,
-        }
+        out["overflow"] = out["overflow"] + sh_ovf
+        return out
 
     sharded = shard_map(
         step,
@@ -455,3 +485,166 @@ def make_dist_pipeline(mesh: Mesh, field: int = 1, cfg: EngineConfig = DEFAULT_C
         check_vma=False,
     )
     return resilient_jit(lambda: jax.jit(sharded))
+
+
+def make_dist_pipeline_staged(
+    mesh: Mesh,
+    field: int = 1,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    ckpt_dir: str | None = None,
+    fail_after: str | None = None,
+):
+    """The distributed plan as THREE jitted stage programs with per-stage
+    sharded checkpoints (SURVEY §5 checkpoint row; VERDICT r3 missing #3).
+
+    Identical semantics to :func:`make_dist_pipeline` (same stage bodies,
+    ``_dist_stage_*``), but each stage's output partitions materialize to
+    ``ckpt_dir`` (per-process npz shards + manifest) and a re-run SKIPS
+    completed stages — recovery after a host death re-executes only the
+    stage that failed, not the whole step.  ``fail_after`` is the fault-
+    injection hook: the process dies (exit 17) immediately after the named
+    stage ("local" | "shuffle") checkpoints, so tests can deterministically
+    create a half-complete run.
+
+    Returned ``run(rb, rc, sb, sc)`` yields the fused step's counter dict
+    plus ``resumed_stages`` (which stages were loaded from the manifest).
+    """
+    from ..parallel.checkpoint import InjectedStageFailure, StageCheckpoints
+
+    ndev = mesh_size(mesh)
+    ax = mesh.axis_names if len(mesh.axis_names) > 1 else mesh.axis_names[0]
+    row = P(mesh.axis_names)
+    pagg_spec = {"count": row, "sum": row, "min": row, "max": row}
+    ckpt = StageCheckpoints(ckpt_dir) if ckpt_dir else None
+
+    def run(rb: RecordBatch, rc, sb: RecordBatch, sc) -> dict:
+        per_r = rb.nrows // ndev
+        per_s = sb.nrows // ndev
+        cap_r, cap_s = _dist_caps(per_r, per_s, ndev, cfg)
+        resumed: list[str] = []
+
+        # ---- stage 1: local (filter + dedup + partial aggregates) -------
+        def a_body(rb_, rc_, sb_, sc_):
+            rloc, nur, sloc, pagg, nus = _dist_stage_local(
+                rb_, rc_[0], sb_, sc_[0], field, cfg
+            )
+            return (
+                rloc, nur[None].astype(jnp.int32),
+                sloc, pagg, nus[None].astype(jnp.int32),
+            )
+
+        if ckpt is not None and ckpt.stage_done("local"):
+            a = ckpt.load_stage("local", mesh)
+            rloc = RecordBatch(
+                recid=a["r_recid"], num=a["r_num"],
+                strw=a["r_strw"], valid=a["r_valid"],
+            )
+            sloc = RecordBatch(
+                recid=a["s_recid"], num=a["s_num"],
+                strw=a["s_strw"], valid=a["s_valid"],
+            )
+            nur, nus = a["r_cnt"], a["s_cnt"]
+            pagg = {k: a[f"pg_{k}"] for k in ("count", "sum", "min", "max")}
+            resumed.append("local")
+        else:
+            rloc, nur, sloc, pagg, nus = resilient_jit(
+                lambda: jax.jit(shard_map(
+                    a_body, mesh=mesh, in_specs=(row, row, row, row),
+                    out_specs=(row, row, row, pagg_spec, row),
+                    check_vma=False,
+                ))
+            )(rb, rc, sb, sc)
+            if ckpt is not None:
+                ckpt.save_stage("local", {
+                    "r_recid": rloc.recid, "r_num": rloc.num,
+                    "r_strw": rloc.strw, "r_valid": rloc.valid,
+                    "r_cnt": nur,
+                    "s_recid": sloc.recid, "s_num": sloc.num,
+                    "s_strw": sloc.strw, "s_valid": sloc.valid,
+                    "s_cnt": nus,
+                    **{f"pg_{k}": v for k, v in pagg.items()},
+                })
+                if fail_after == "local":
+                    raise InjectedStageFailure("local")
+
+        # ---- stage 2: the exchange --------------------------------------
+        def b_body(rl, nur_, sl, pg, nus_):
+            rsh, rtot, ssh, s_px, stot, ovf = _dist_stage_shuffle(
+                rl, nur_[0], sl, pg, nus_[0],
+                field, cfg, ndev, ax, cap_r, cap_s,
+            )
+            return (
+                rsh, rtot[None].astype(jnp.int32),
+                ssh, tuple(s_px), stot[None].astype(jnp.int32), ovf,
+            )
+
+        if ckpt is not None and ckpt.stage_done("shuffle"):
+            b = ckpt.load_stage("shuffle", mesh)
+            rsh = RecordBatch(
+                recid=b["r_recid"], num=b["r_num"],
+                strw=b["r_strw"], valid=b["r_valid"],
+            )
+            ssh = RecordBatch(
+                recid=b["s_recid"], num=b["s_num"],
+                strw=b["s_strw"], valid=b["s_valid"],
+            )
+            rtot, stot = b["r_cnt"], b["s_cnt"]
+            s_px = tuple(b[f"px_{j}"] for j in range(4))
+            sh_ovf = int(ckpt.load_scalars("shuffle")["overflow"])
+            resumed.append("shuffle")
+        else:
+            npx = 4
+            rsh, rtot, ssh, s_px, stot, ovf = resilient_jit(
+                lambda: jax.jit(shard_map(
+                    b_body, mesh=mesh,
+                    in_specs=(row, row, row, pagg_spec, row),
+                    out_specs=(row, row, row, (row,) * npx, row, P()),
+                    check_vma=False,
+                ))
+            )(rloc, nur, sloc, pagg, nus)
+            sh_ovf = int(ovf)
+            if ckpt is not None:
+                ckpt.save_stage("shuffle", {
+                    "r_recid": rsh.recid, "r_num": rsh.num,
+                    "r_strw": rsh.strw, "r_valid": rsh.valid,
+                    "r_cnt": rtot,
+                    "s_recid": ssh.recid, "s_num": ssh.num,
+                    "s_strw": ssh.strw, "s_valid": ssh.valid,
+                    "s_cnt": stot,
+                    **{f"px_{j}": w for j, w in enumerate(s_px)},
+                }, scalars={"overflow": sh_ovf})
+                if fail_after == "shuffle":
+                    raise InjectedStageFailure("shuffle")
+
+        # ---- stage 3: global combine + joins ----------------------------
+        def c_body(rsh_, rtot_, ssh_, px, stot_):
+            return _dist_stage_join(
+                rsh_, rtot_[0], ssh_, tuple(px), stot_[0],
+                field, cfg, ndev, ax, cap_r, cap_s,
+            )
+
+        out = resilient_jit(
+            lambda: jax.jit(shard_map(
+                c_body, mesh=mesh,
+                in_specs=(row, row, row, (row,) * 4, row),
+                out_specs={
+                    "nunique_r": P(),
+                    "nunique_s": P(),
+                    "merge_nres": P(),
+                    "hash_nres": P(),
+                    "agg_groups": P(),
+                    "join_out": row,
+                    "join_counts": row,
+                    "agg_count": row,
+                    "agg_sum": row,
+                    "overflow": P(),
+                },
+                check_vma=False,
+            ))
+        )(rsh, rtot, ssh, s_px, stot)
+        out = dict(out)
+        out["overflow"] = int(out["overflow"]) + sh_ovf
+        out["resumed_stages"] = resumed
+        return out
+
+    return run

@@ -1,0 +1,158 @@
+"""Per-stage checkpointing for the distributed pipeline.
+
+SURVEY.md §5 (checkpoint row): "each operator stage writes sharded
+partitions … resume = skip completed stages."  The reference's computation
+is resumable-by-design at phase granularity — every merge phase
+materializes its full state as ``segment<N>.bin`` files
+(``DatabaseProject.cpp:219-228,263-265``) and inputs are deleted only after
+the consuming round completes.  Here the distributed plan's stage outputs
+(row-sharded global arrays) checkpoint the same way: each PROCESS saves its
+own addressable shards per stage (npz + meta), a manifest marks completed
+stages after a cross-process barrier, and a resumed run rebuilds the global
+arrays with ``jax.make_array_from_callback`` and skips straight to the
+first incomplete stage.
+
+Recovery contract (matches the failure-detection story in
+``parallel/multihost.py``): a host death mid-run surfaces as a bounded-time
+error; the re-run loads every stage the manifest marks done and re-executes
+only the rest — instead of the whole step (VERDICT r3 missing #3).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import pathlib
+
+import numpy as np
+
+
+class StageCheckpoints:
+    """Sharded per-stage checkpoint store for one pipeline run.
+
+    Layout: ``<dir>/manifest.json`` ({"done": [stage, ...]}, written by
+    process 0 after all processes saved), ``<dir>/<stage>.p<pid>.npz``
+    (this process's row-shard blocks) + ``.meta.json`` (global shapes,
+    this process's row offset, replicated scalars).
+    """
+
+    def __init__(self, ckpt_dir: str):
+        import jax
+
+        self.dir = pathlib.Path(ckpt_dir)
+        self.dir.mkdir(parents=True, exist_ok=True)
+        self.pid = jax.process_index()
+        self.nproc = jax.process_count()
+        self.manifest_path = self.dir / "manifest.json"
+
+    # ---- manifest --------------------------------------------------------
+
+    def _manifest(self) -> dict:
+        if self.manifest_path.exists():
+            return json.loads(self.manifest_path.read_text())
+        return {"done": []}
+
+    def stage_done(self, stage: str) -> bool:
+        return (
+            stage in self._manifest()["done"]
+            and (self.dir / f"{stage}.p{self.pid}.npz").exists()
+        )
+
+    def _mark_done(self, stage: str) -> None:
+        m = self._manifest()
+        if stage not in m["done"]:
+            m["done"].append(stage)
+        tmp = self.manifest_path.with_suffix(".tmp")
+        tmp.write_text(json.dumps(m))
+        os.replace(tmp, self.manifest_path)
+
+    def _barrier(self, tag: str) -> None:
+        """All processes reach here before process 0 marks the stage done."""
+        import jax
+
+        if self.nproc > 1:
+            from jax.experimental import multihost_utils
+
+            multihost_utils.sync_global_devices(f"stage_ckpt_{tag}")
+
+    # ---- save / load -----------------------------------------------------
+
+    def save_stage(
+        self, stage: str, arrays: dict, scalars: dict | None = None
+    ) -> None:
+        """Save this process's shards of row-sharded global arrays (plus
+        replicated host scalars in the meta)."""
+        local: dict[str, np.ndarray] = {}
+        meta: dict = {
+            "shapes": {}, "dtypes": {}, "lo": {}, "scalars": scalars or {}
+        }
+        for name, arr in arrays.items():
+            shards = sorted(
+                arr.addressable_shards,
+                key=lambda s: s.index[0].start or 0,
+            )
+            lo = shards[0].index[0].start or 0
+            local[name] = np.concatenate(
+                [np.asarray(s.data) for s in shards], axis=0
+            )
+            meta["shapes"][name] = list(arr.shape)
+            meta["dtypes"][name] = str(local[name].dtype)
+            meta["lo"][name] = int(lo)
+        tmp = self.dir / f"{stage}.p{self.pid}.npz.tmp"
+        with open(tmp, "wb") as f:
+            np.savez(f, **local)
+        os.replace(tmp, self.dir / f"{stage}.p{self.pid}.npz")
+        (self.dir / f"{stage}.p{self.pid}.meta.json").write_text(
+            json.dumps(meta)
+        )
+        self._barrier(stage)
+        if self.pid == 0:
+            self._mark_done(stage)
+        self._barrier(stage + "_done")
+
+    def load_stage(self, stage: str, mesh) -> dict:
+        """Rebuild the stage's global arrays from this process's shards."""
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        meta = json.loads(
+            (self.dir / f"{stage}.p{self.pid}.meta.json").read_text()
+        )
+        data = np.load(self.dir / f"{stage}.p{self.pid}.npz")
+        sharding = NamedSharding(mesh, P(mesh.axis_names))
+        out = {}
+        for name, shape in meta["shapes"].items():
+            a = data[name]
+            lo = meta["lo"][name]
+
+            def cb(idx, _a=a, _lo=lo):
+                r = idx[0]
+                sl = (slice(r.start - _lo, r.stop - _lo),) + tuple(idx[1:])
+                return _a[sl]
+
+            out[name] = jax.make_array_from_callback(
+                tuple(shape), sharding, cb
+            )
+        return out
+
+    def load_scalars(self, stage: str) -> dict:
+        meta = json.loads(
+            (self.dir / f"{stage}.p{self.pid}.meta.json").read_text()
+        )
+        return meta.get("scalars", {})
+
+    def cleanup(self) -> None:
+        for f in self.dir.glob("*.npz"):
+            f.unlink()
+        for f in self.dir.glob("*.meta.json"):
+            f.unlink()
+        if self.manifest_path.exists():
+            self.manifest_path.unlink()
+
+
+class InjectedStageFailure(SystemExit):
+    """Fault injection: deliberate death after a named stage completes."""
+
+    def __init__(self, stage: str):
+        super().__init__(17)
+        self.stage = stage

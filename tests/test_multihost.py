@@ -148,3 +148,49 @@ def test_host_killed_midrun_detected_and_rerun_succeeds():
         outs.append(_last_json(stdout))
     assert outs[0]["joins_agree"] and outs[0]["overflow"] == 0
     assert outs[0]["merge_join_pairs"] == outs[1]["merge_join_pairs"]
+
+
+def test_two_process_stage_checkpoint_resume(tmp_path):
+    """Per-stage checkpoint/resume across REAL processes (SURVEY §5
+    checkpoint row, VERDICT r3 missing #3): both processes die (injected,
+    exit 17) right after the 'local' stage checkpoints its sharded
+    partitions; the re-run must LOAD that stage from the manifest
+    (resumed_stages proves the skip) and produce the single-chip result."""
+    from database_technology_algorithms_tpu.io.generator import generate_batch
+    from database_technology_algorithms_tpu.models.pipeline import pipeline_single
+
+    nblocks = 8
+    ck = str(tmp_path / "stages")
+    port = _free_port()
+    extra = ("--stage-checkpoints", ck, "--fail-after-stage", "local")
+    procs = [_launch(port, 2, pid, nblocks, 1, extra=extra) for pid in (0, 1)]
+    for p in procs:
+        stdout, stderr = p.communicate(timeout=600)
+        assert p.returncode == 17, (
+            f"expected injected death rc=17, got {p.returncode}\n{stdout}\n{stderr}"
+        )
+    # both processes' shards + the manifest survived the deaths
+    import os as _os
+
+    assert _os.path.exists(_os.path.join(ck, "manifest.json"))
+    assert _os.path.exists(_os.path.join(ck, "local.p0.npz"))
+    assert _os.path.exists(_os.path.join(ck, "local.p1.npz"))
+
+    port2 = _free_port()
+    procs = [
+        _launch(port2, 2, pid, nblocks, 1, extra=("--stage-checkpoints", ck))
+        for pid in (0, 1)
+    ]
+    outs = []
+    for p in procs:
+        stdout, stderr = p.communicate(timeout=600)
+        assert p.returncode == 0, f"rc={p.returncode}\n{stdout}\n{stderr}"
+        outs.append(_last_json(stdout))
+    for o in outs:
+        assert o["resumed_stages"] == ["local"], o
+        assert o["joins_agree"] and o["overflow"] == 0
+    r = generate_batch(nblocks, seed=42)
+    s = generate_batch(nblocks, seed=43)
+    ref = pipeline_single(r, s, 1)
+    assert outs[0]["merge_join_pairs"] == int(ref["merge_nres"])
+    assert outs[0]["nunique_r"] == int(ref["nunique_r"])

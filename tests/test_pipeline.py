@@ -254,3 +254,46 @@ def test_pipeline_distributed_aggregate_values(rng):
     live = got_c > 0
     got = sorted(zip(got_c[live].tolist(), got_s[live].tolist()))
     assert got == want
+
+
+def test_pipeline_staged_checkpoint_resume(rng, tmp_path):
+    """Per-stage checkpointing (SURVEY §5): the staged dist runner equals
+    the fused step; after an injected death the re-run provably SKIPS the
+    completed stages (resumed from sharded manifest) and stays exact."""
+    import pytest as _pytest
+
+    from database_technology_algorithms_tpu.models.pipeline import (
+        make_dist_pipeline_staged,
+    )
+    from database_technology_algorithms_tpu.parallel.checkpoint import (
+        InjectedStageFailure,
+    )
+
+    mesh = make_mesh()
+    c1 = M.random_cols(rng, 900, key_range=80)
+    c2 = M.random_cols(rng, 1000, key_range=80)
+    t1, t2 = distribute(mesh, c1), distribute(mesh, c2)
+    ck = str(tmp_path / "stages")
+
+    # first attempt dies right after the shuffle stage checkpoints
+    run_fail = make_dist_pipeline_staged(
+        mesh, 1, CFG, ckpt_dir=ck, fail_after="shuffle"
+    )
+    with _pytest.raises(InjectedStageFailure):
+        run_fail(t1.batch, t1.count, t2.batch, t2.count)
+
+    # resume: both completed stages load from the manifest
+    run = make_dist_pipeline_staged(mesh, 1, CFG, ckpt_dir=ck)
+    out = run(t1.batch, t1.count, t2.batch, t2.count)
+    assert out["resumed_stages"] == ["local", "shuffle"]
+    assert int(out["overflow"]) == 0
+    single = pipeline_single(M.to_batch(c1), M.to_batch(c2), 1, CFG)
+    for k in ("nunique_r", "nunique_s", "merge_nres", "hash_nres", "agg_groups"):
+        assert int(out[k]) == int(single[k]), k
+
+    # and a fresh (no-checkpoint-dir) staged run matches too
+    fresh = make_dist_pipeline_staged(mesh, 1, CFG)
+    out2 = fresh(t1.batch, t1.count, t2.batch, t2.count)
+    assert out2["resumed_stages"] == []
+    for k in ("nunique_r", "nunique_s", "merge_nres", "hash_nres"):
+        assert int(out2[k]) == int(single[k]), k
