@@ -228,6 +228,35 @@ def build_variant(name, r, s):
     raise ValueError(name)
 
 
+def child_warm() -> int:
+    """Explicit AOT-warm pre-step (VERDICT r3 #6): compile every headline
+    executable (stage_a + placement group + the per-op stages) into the
+    persistent cache BEFORE any timing child runs.  A wedged compile here
+    costs this pre-step's own budget slice and a retry — never a timing
+    attempt — and makes every later child (and the driver's next run) hit
+    warm executables: headline warmup drops from ~130 s to seconds."""
+    import jax
+
+    from database_technology_algorithms_tpu.utils.cache import (
+        enable_persistent_cache,
+    )
+
+    if "--cpu" in sys.argv:
+        jax.config.update("jax_platforms", "cpu")
+    enable_persistent_cache(tag="cpu" if "--cpu" in sys.argv else "tpu")
+    r, s = gen_inputs()
+    times = {}
+    for name in ("pipeline_materialized", "hash_join_count", "sort",
+                 "distinct", "pipeline_counters_only"):
+        t0 = time.perf_counter()
+        call, _ = build_variant(name, r, s)
+        fence(call(r, s))
+        times[name] = round(time.perf_counter() - t0, 1)
+        print(f"# warmed {name}: {times[name]}s", file=sys.stderr, flush=True)
+    print("BENCH_CHILD " + json.dumps({"name": "warm", "programs": times}))
+    return 0
+
+
 def child_main(name: str) -> int:
     import jax
 
@@ -258,6 +287,54 @@ def parent_main() -> int:
     deadline = t_start + TOTAL_BUDGET_S
     passthrough = [a for a in sys.argv[1:] if a != "--variant"]
     recs = {}
+
+    # ---- explicit AOT-warm pre-step (own budget, own retries) ----------
+    warm_rec = {"ok": False, "s": 0.0, "attempts": 0}
+    for attempt in (1, 2):
+        remaining = deadline - time.perf_counter()
+        warm_to = min(int(TOTAL_BUDGET_S * 0.45), max(int(remaining) - 120, 0))
+        if warm_to < 90:
+            print("# warm pre-step: SKIPPED (clock)", file=sys.stderr)
+            break
+        warm_rec["attempts"] = attempt
+        t0 = time.perf_counter()
+        cmd = [sys.executable, __file__, "--variant", "warm"] + passthrough
+        try:
+            p = subprocess.run(
+                cmd, timeout=warm_to, capture_output=True, text=True,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+            )
+        except subprocess.TimeoutExpired:
+            print(
+                f"# warm pre-step attempt {attempt}: TIMEOUT {warm_to}s "
+                f"(wedged compile service?) — retrying"
+                if attempt == 1 else
+                f"# warm pre-step attempt {attempt}: TIMEOUT {warm_to}s — "
+                f"children will compile cold",
+                file=sys.stderr,
+            )
+            continue
+        warm_rec["s"] = round(time.perf_counter() - t0, 1)
+        line = next(
+            (l for l in p.stdout.splitlines() if l.startswith("BENCH_CHILD ")),
+            None,
+        )
+        if p.returncode == 0 and line:
+            warm_rec["ok"] = True
+            warm_rec["programs"] = json.loads(
+                line[len("BENCH_CHILD "):]
+            ).get("programs", {})
+            print(
+                f"# warm pre-step ok in {warm_rec['s']}s: "
+                f"{warm_rec.get('programs')}",
+                file=sys.stderr,
+            )
+            break
+        print(
+            f"# warm pre-step attempt {attempt}: rc={p.returncode}",
+            file=sys.stderr,
+        )
+
     for name, _op in VARIANTS:
         remaining = deadline - time.perf_counter()
         # keep a reserve for the aggregation step; once a headline variant
@@ -417,6 +494,7 @@ def parent_main() -> int:
                 "unit": "rows/s",
                 "vs_baseline": round(rows_per_s / BASELINE_ROWS_PER_S, 2),
                 "materialized": True,
+                "warm_prestep": warm_rec,
                 "detail": detail,
             }
         )
@@ -426,7 +504,10 @@ def parent_main() -> int:
 
 def main() -> int:
     if "--variant" in sys.argv:
-        return child_main(sys.argv[sys.argv.index("--variant") + 1])
+        name = sys.argv[sys.argv.index("--variant") + 1]
+        if name == "warm":
+            return child_warm()
+        return child_main(name)
     return parent_main()
 
 
