@@ -182,7 +182,7 @@ def build_variant(name, r, s):
         hash_join_count_impl,
     )
     from database_technology_algorithms_tpu.ops.movement import (
-        place_grouped,
+        place_batch,
         sort_words,
     )
     from database_technology_algorithms_tpu.ops.sort import sort_keys, survivor_dest
@@ -202,7 +202,7 @@ def build_variant(name, r, s):
 
         def call(r):
             dest = jit_sortdest(r)
-            return place_grouped(dest, jnp.int32(ROWS), r.payload_words())[1]
+            return place_batch(dest, jnp.int32(ROWS), r).num
 
         return (lambda r, s: call(r)), (lambda: {})
 
@@ -217,7 +217,7 @@ def build_variant(name, r, s):
 
         def call(r):
             dest, cnt = jit_distdest(r)
-            return place_grouped(dest, cnt, r.payload_words())[1]
+            return place_batch(dest, cnt, r).num
 
         return (lambda r, s: call(r)), (lambda: {})
 

@@ -25,6 +25,10 @@ class EngineConfig:
     # u32 words of NUL-normalized string used as the fast-path sort prefix;
     # ties that differ beyond the prefix trigger an exact full-width fallback.
     str_prefix_words: int = 2
+    # bit-pack (inactive, u32-key, iota) sorts into 2 operands (r4: measured
+    # 1.25x on the view sort, exact — ops/sort.packed_u32_view_sort); False
+    # forces the plain 3-operand form (equality testing / other backends)
+    packed_u32_sorts: bool = True
     # row-movement engine: "sort" = grouped payload-placement sorts (TPU:
     # beats XLA's ~32 ns/row gather by >10x), "gather" = fused jnp.take
     # (fast on CPU/GPU), "sort2d" = replicated-key 2-D sort (measured 5-8x

@@ -73,11 +73,18 @@ def _pipeline_view(both: RecordBatch, nr: int, field: int, cfg: EngineConfig):
     if field in (0, 1):
         kw = key_words(both, field)  # (recid,) or (num,)
         extra = () if field == 1 else (both.num,)
-        out = jax.lax.sort((inact, kw[0], iota) + extra, num_keys=3)
-        s_inact, s_key, perm = out[0], out[1], out[2]
+        if cfg.packed_u32_sorts:
+            # 2-operand bit-packed form of the same order (r4, ~1.25x)
+            from ..ops.sort import packed_u32_view_sort
+
+            s_key, perm, v_act, ex = packed_u32_view_sort(inact, kw[0], extra)
+            v_num = s_key if field == 1 else ex[0]
+        else:
+            out = jax.lax.sort((inact, kw[0], iota) + extra, num_keys=3)
+            s_inact, s_key, perm = out[0], out[1], out[2]
+            v_num = s_key if field == 1 else out[3]
+            v_act = s_inact == 0
         adj = jnp.concatenate([jnp.zeros(1, bool), s_key[1:] == s_key[:-1]])
-        v_num = s_key if field == 1 else out[3]
-        v_act = s_inact == 0
         view = SortedView(perm=perm, adj_eq=adj, extras=())
     else:
         view = sort_keys(
@@ -238,7 +245,7 @@ def make_pipeline_staged(field: int = 1, cfg: EngineConfig = DEFAULT_CONFIG):
          placement sorts in ONE executable (identical unrolled sorts
          compile cheaply: ~25 s measured vs ~80 s for one alone)
     """
-    from ..ops.movement import place_grouped, place_words_2d, use_sort_placement
+    from ..ops.movement import place_batch, place_words_2d, use_sort_placement
     from ..ops.scan import seg_carry, seg_max, seg_min
     from ..ops.sort import survivor_dest
 
@@ -275,19 +282,20 @@ def make_pipeline_staged(field: int = 1, cfg: EngineConfig = DEFAULT_CONFIG):
             lambda dest, cnt, *words: place_words_2d(dest, cnt, list(words))
         )
 
-        def place_all(dest, cnt, words):
-            return list(jit_place(dest, cnt, *words))
+        def place_all(dest, cnt, r):
+            return RecordBatch.from_payload_words(
+                list(jit_place(dest, cnt, *r.payload_words()))
+            )
     else:
-        def place_all(dest, cnt, words):
-            return place_grouped(dest, cnt, words)
+        # production: valid folded into the placement key (r4, 6->5 ops)
+        def place_all(dest, cnt, r):
+            return place_batch(dest, cnt, r)
 
     def run(r: RecordBatch, s: RecordBatch) -> dict:
         nr = r.nrows
         out = jit_a(r, s)
         if use_sort_placement(cfg):
-            mj_out = RecordBatch.from_payload_words(
-                place_all(out["dest"], out["cnt"], r.payload_words())
-            )
+            mj_out = place_all(out["dest"], out["cnt"], r)
         else:
             cnt, (orig_front,) = compact_words(
                 out["matched"], (out["perm"],)

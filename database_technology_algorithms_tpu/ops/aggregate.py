@@ -56,7 +56,8 @@ def group_aggregate_impl(
     # carry num (the aggregated measure) through the key sort as payload:
     # no record materialization needed for the aggregates themselves
     view = sort_keys(
-        batch, field, cfg, pre_words=pre, extra=extra0 + (batch.num,)
+        batch, field, cfg, pre_words=pre, extra=extra0 + (batch.num,),
+        pre_is_mask=True,
     )
     active = (
         jnp.ones(n, dtype=bool) if not extra0 else view.extras[0] == 1
@@ -136,6 +137,7 @@ def combine_group_aggregate_impl(
         batch, field, cfg,
         pre_words=pre,
         extra=(active.astype(jnp.uint32), pc, ps, pmin, pmax),
+        pre_is_mask=True,
     )
     s_act, s_pc, s_ps, s_pmin, s_pmax = view.extras
     active_s = s_act == 1

@@ -53,7 +53,8 @@ def distinct_view(
     if active is not None:
         pre = ((~active).astype(jnp.uint32),)
         extra = (active.astype(jnp.uint32),)
-    view = sort_keys(batch, field, cfg, pre_words=pre, extra=extra)
+    view = sort_keys(batch, field, cfg, pre_words=pre, extra=extra,
+                     pre_is_mask=True)
     keep = ~view.adj_eq
     if active is not None:
         keep &= view.extras[0] == 1

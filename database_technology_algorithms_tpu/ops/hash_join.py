@@ -186,15 +186,33 @@ def _fused_matched_mult(
         else (idx >= nb) & ((idx - nb) < probe_count)
     )
     active = b_active | p_active
-    view = sort_keys(
-        both, field, cfg,
-        pre_words=((~active).astype(jnp.uint32),),
-        extra=(active.astype(jnp.uint32),),
-    )
-    (s_act,) = view.extras
-    active_s = s_act == 1
-    s_build = view.perm < nb
-    adj = view.adj_eq
+    if field in (0, 1) and cfg.packed_u32_sorts:
+        # single-word keys: the (inactive, key, iota) sort bit-packs into
+        # 2 operands, and the activity mask falls out of the sorted hi bit
+        # instead of riding as a payload word — 4 operands -> 2 (r4,
+        # ops/sort.packed_u32_view_sort; order verified identical)
+        from .sort import packed_u32_view_sort
+
+        key = both.recid if field == 0 else both.num
+        s_key, perm, active_s, _ = packed_u32_view_sort(
+            (~active).astype(jnp.uint32), key
+        )
+        adj = jnp.concatenate(
+            [jnp.zeros(1, bool), s_key[1:] == s_key[:-1]]
+        )
+        s_build = perm < nb
+        view_perm = perm
+    else:
+        view = sort_keys(
+            both, field, cfg,
+            pre_words=((~active).astype(jnp.uint32),),
+            extra=(active.astype(jnp.uint32),),
+        )
+        (s_act,) = view.extras
+        active_s = s_act == 1
+        s_build = view.perm < nb
+        adj = view.adj_eq
+        view_perm = view.perm
     is_start = ~adj
     end_flags = jnp.concatenate([is_start[1:], jnp.ones(1, bool)])
 
@@ -215,15 +233,15 @@ def _fused_matched_mult(
         )
     ).astype(jnp.int32)
     mult_sorted = jnp.where(active_s & ~s_build, end_incl - start_excl, 0)
-    matched_sorted = mult_sorted > 0
 
     # answers back to probe original order: probe rows' perm values are
-    # their concat indices (nb..n-1), already monotone in probe order
-    ord_key = jnp.where(~s_build, view.perm, jnp.int32(n)).astype(jnp.uint32)
-    out = jax.lax.sort(
-        (ord_key, matched_sorted.astype(jnp.uint32), mult_sorted), num_keys=1
-    )
-    return (out[1][:npr] == 1), out[2][:npr]
+    # their concat indices (nb..n-1), already monotone in probe order.
+    # Only mult rides the un-permute — matched is mult > 0 by definition
+    # (the r3 form carried a redundant matched operand; 3 -> 2 ops, r4)
+    ord_key = jnp.where(~s_build, view_perm, jnp.int32(n)).astype(jnp.uint32)
+    out = jax.lax.sort((ord_key, mult_sorted), num_keys=1)
+    mult = out[1][:npr]
+    return (mult > 0), mult
 
 
 def member_multiplicity(

@@ -57,6 +57,7 @@ def join_view(
         both, field, cfg,
         pre_words=(inactive_w,),
         extra=(active.astype(jnp.uint32),),
+        pre_is_mask=True,
     )
     (s_act,) = view.extras
     s_side = (view.perm >= nr).astype(jnp.uint32)

@@ -134,6 +134,59 @@ def place_grouped(
     return outs
 
 
+@jax.jit
+def _place_batch_fused(dest, cnt, recid, num, strw, valid):
+    """place_batch's narrow-width form as ONE jitted program.
+
+    Everything — key fold, the placement sort, valid unfold, capacity
+    zeroing, the strw restack — fuses into a single executable: the first
+    r4 cut ran the unfold/zeroing as eager per-op dispatches through the
+    tunnel, which cost MORE than the saved sort operand (measured: the
+    materialized variants regressed 1.5-5x until fused)."""
+    n = dest.shape[0]
+    keyw = (dest.astype(jnp.uint32) << 1) | valid.astype(jnp.uint32)
+    words = (recid, num) + tuple(strw[:, j] for j in range(strw.shape[1]))
+    res = jax.lax.sort((keyw,) + words, num_keys=1)
+    skey = res[0]
+    live = jnp.arange(n, dtype=jnp.int32) < cnt
+    cols = [jnp.where(live, w, 0) for w in res[1:]]
+    valid_o = ((skey & 1) == 1) & live
+    return cols[0], cols[1], jnp.stack(cols[2:], axis=1), valid_o
+
+
+def place_batch(
+    dest: jax.Array,
+    cnt: jax.Array | None,
+    batch: RecordBatch,
+) -> RecordBatch:
+    """Whole-record placement with the VALID FLAG FOLDED INTO THE KEY.
+
+    ``payload_words()`` spends a full sort operand on the 1-bit valid
+    column; here the placement key is ``dest<<1 | valid`` (dest values are
+    unique, so the fold preserves the order exactly) and valid is read
+    back from the sorted key's low bit — one fewer operand (6 -> 5 at
+    narrow width; needs dest < 2^31, guaranteed by the device budget).
+    Rows placed at positions >= cnt are zeroed (static-capacity
+    convention; cnt=None keeps every row).
+
+    Narrow widths (2 + K <= PLACE_GROUP payload words) run as ONE fused
+    jitted program; wider batches fall back to the grouped payload-word
+    placement (one group per 7 words — fusing many 8-operand sorts into
+    one program is the known compile-service wedge, r2).
+    """
+    n = batch.nrows
+    if 2 + batch.str_words <= PLACE_GROUP:
+        cnt_v = jnp.int32(n) if cnt is None else cnt
+        recid, num, strw, valid = _place_batch_fused(
+            dest, cnt_v, batch.recid, batch.num, batch.strw, batch.valid
+        )
+        return RecordBatch(recid=recid, num=num, strw=strw, valid=valid)
+    words = batch.payload_words()
+    cnt_v = jnp.int32(n) if cnt is None else cnt
+    placed = place_grouped(dest, cnt_v, words)
+    return RecordBatch.from_payload_words(placed)
+
+
 def permute_rows(
     batch: RecordBatch,
     dest: jax.Array,
@@ -146,26 +199,26 @@ def permute_rows(
     padding convention).  cfg.materialize == "sort2d" routes through the
     replicated-key 2-D sort engine instead of grouped placement sorts.
     """
-    words = batch.payload_words()
     if cfg.materialize == "sort2d":
         # P1 measurements: per-column sort cost grows with matrix width, so
         # split the payload into groups of ~4 columns (the measured optimum)
+        words = batch.payload_words()
         placed = list(
             place_words_2d(dest, None, words, npay=-(-len(words) // 4))
         )
-    else:
-        placed = place_words(dest, words)
-    out = RecordBatch.from_payload_words(placed)
-    if count is not None:
-        n = batch.nrows
-        live = jnp.arange(n, dtype=jnp.int32) < count
-        out = RecordBatch(
-            recid=jnp.where(live, out.recid, 0),
-            num=jnp.where(live, out.num, 0),
-            strw=jnp.where(live[:, None], out.strw, 0),
-            valid=out.valid & live,
-        )
-    return out
+        out = RecordBatch.from_payload_words(placed)
+        if count is not None:
+            n = batch.nrows
+            live = jnp.arange(n, dtype=jnp.int32) < count
+            out = RecordBatch(
+                recid=jnp.where(live, out.recid, 0),
+                num=jnp.where(live, out.num, 0),
+                strw=jnp.where(live[:, None], out.strw, 0),
+                valid=out.valid & live,
+            )
+        return out
+    # production path: valid folded into the placement key (r4, 6->5 ops)
+    return place_batch(dest, count, batch)
 
 
 def stage_to_cells(

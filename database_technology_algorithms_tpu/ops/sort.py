@@ -103,12 +103,18 @@ def sort_keys(
     pre_words: tuple = (),
     post_words: tuple = (),
     extra: tuple = (),
+    pre_is_mask: bool = False,
 ) -> SortedView:
     """Sort rows by pre_words ++ field-key ++ post_words; exact; no payload.
 
     The join/distinct drivers thread control words through here (an
     "inactive row" word to sink padding rows, a "side" word for build-
     before-probe tie order).  `extra` words ride as sort payload.
+
+    ``pre_is_mask=True`` declares the single pre word 0/1-valued (an
+    inactivity mask): for single-word u32 keys the (mask, key, iota) sort
+    then bit-packs into 2 operands (ops/sort.packed_u32_view_sort —
+    exact, ~1.25x on the target chip; gated by cfg.packed_u32_sorts).
     """
     field = canonical_field(field)
     n = batch.nrows
@@ -129,6 +135,19 @@ def sort_keys(
 
     if not uses_strings(field):
         kw = key_words(batch, field)
+        if (
+            pre_is_mask
+            and cfg.packed_u32_sorts
+            and len(kw) == 1
+            and len(pre) == 1
+            and not post
+        ):
+            s_key, perm, _s_act, extras = packed_u32_view_sort(
+                pre[0], kw[0], extra
+            )
+            eq = s_key[1:] == s_key[:-1]
+            adj = jnp.concatenate([jnp.zeros(1, bool), eq])
+            return SortedView(perm=perm, adj_eq=adj, extras=extras)
         ops = tuple(pre) + tuple(kw) + tuple(post) + (iota,) + extra
         nk = len(pre) + len(kw) + len(post) + 1
         out = jax.lax.sort(ops, num_keys=nk)
@@ -166,6 +185,36 @@ def sort_keys(
         return SortedView(perm=perm_fast, adj_eq=adj, extras=fast_extras)
 
     return jax.lax.cond(needs_full, full_path, fast_path, None)
+
+
+def packed_u32_view_sort(
+    inact: jax.Array, key: jax.Array, extra: tuple = ()
+) -> tuple[jax.Array, jax.Array, jax.Array, tuple]:
+    """Sort by (inact ∈ {0,1}, u32 key, row index) as a 2-OPERAND sort.
+
+    Bit-packs the three logical sort words into two u32 operands —
+        hi = inact<<31 | key>>1        lo = (key&1)<<31 | iota
+    whose lexicographic order equals (inact, key, iota) exactly (the
+    order was verified element-wise against the 3-operand form;
+    tools/bench_sort_ceiling.py).  Measured 4.33 -> 3.46 ms at 2M rows on
+    the target chip (~1.25x): lax.sort cost is per-operand, and the
+    pipeline pays this sort on every operator.  Requires n < 2^31 —
+    guaranteed, device budgets cap far lower.
+
+    Returns (s_key, perm, s_act, extras): ``s_key`` is each sorted row's
+    ORIGINAL key even for inactive rows (their hi bit shifts out),
+    ``s_act`` the sorted activity mask, ``extra`` words ride as payload.
+    """
+    n = key.shape[0]
+    iota = jnp.arange(n, dtype=jnp.int32)
+    hi = (inact.astype(jnp.uint32) << 31) | (key >> 1)
+    lo = ((key & 1) << 31) | iota.astype(jnp.uint32)
+    out = jax.lax.sort((hi, lo) + tuple(extra), num_keys=2)
+    s_hi, s_lo = out[0], out[1]
+    s_key = (s_hi << 1) | (s_lo >> 31)
+    perm = (s_lo & jnp.uint32(0x7FFFFFFF)).astype(jnp.int32)
+    s_act = (s_hi >> 31) == 0
+    return s_key, perm, s_act, tuple(out[2:])
 
 
 def survivor_dest(
@@ -249,7 +298,7 @@ def sort_batch_impl(
     if count is not None:
         inactive = (jnp.arange(n, dtype=jnp.int32) >= count).astype(jnp.uint32)
         pre = (inactive,)
-    view = sort_keys(batch, field, cfg, pre_words=pre)
+    view = sort_keys(batch, field, cfg, pre_words=pre, pre_is_mask=True)
     if use_sort_placement(cfg):
         # dest = inverse permutation: sorting (perm, iota) by perm restores
         # original row order and hands each row its sorted position

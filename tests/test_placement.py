@@ -369,3 +369,105 @@ def test_cross_width_join_and_hash_invariance(rng):
         _, j1 = join_sorted_distinct_impl(db, nb_, dpw, npw, field)
         _, j2 = join_sorted_distinct_impl(db, nb_, dpn, npn, field)
         assert int(j1) == int(j2), field
+
+
+def test_packed_u32_view_sort_order(rng):
+    """The 2-operand bit-packed (inact, key, iota) sort must order
+    IDENTICALLY to the 3-operand form for adversarial keys (0, 1,
+    0xFFFFFFFE, 0xFFFFFFFF, LSB-differing pairs) and mixed activity."""
+    import jax
+
+    from database_technology_algorithms_tpu.ops.sort import (
+        packed_u32_view_sort,
+    )
+
+    n = 4000
+    key = rng.integers(0, 2**32, n, dtype=np.uint32)
+    key[:8] = [0, 1, 2**32 - 1, 2**32 - 2, 7, 6, 2**31, 2**31 - 1]
+    inact = (rng.random(n) < 0.1).astype(np.uint32)
+    jkey, jinact = jnp.asarray(key), jnp.asarray(inact)
+    iota = jnp.arange(n, dtype=jnp.int32)
+    ref = jax.lax.sort((jinact, jkey, iota), num_keys=3)
+    s_key, perm, s_act, _ = packed_u32_view_sort(jinact, jkey)
+    np.testing.assert_array_equal(np.asarray(perm), np.asarray(ref[2]))
+    np.testing.assert_array_equal(np.asarray(s_key), np.asarray(ref[1]))
+    np.testing.assert_array_equal(
+        np.asarray(s_act), np.asarray(ref[0]) == 0
+    )
+
+
+@pytest.mark.parametrize("field", [0, 1])
+def test_pipeline_packed_sorts_bit_equal(rng, field):
+    """cfg.packed_u32_sorts=True (production) must be bit-identical to the
+    plain 3-operand form across the whole pipeline: counters, aggregates,
+    and the materialized join output."""
+    from database_technology_algorithms_tpu.config import EngineConfig
+    from database_technology_algorithms_tpu.models.pipeline import (
+        pipeline_single,
+    )
+
+    c1 = M.random_cols(rng, 500, key_range=60)
+    c2 = M.random_cols(rng, 450, key_range=60)
+    c1["valid"][::7] = False
+    a = pipeline_single(
+        M.to_batch(c1), M.to_batch(c2), field, EngineConfig(packed_u32_sorts=True)
+    )
+    b = pipeline_single(
+        M.to_batch(c1), M.to_batch(c2), field, EngineConfig(packed_u32_sorts=False)
+    )
+    for k in ("nunique_r", "nunique_s", "merge_nres", "hash_nres", "agg_groups"):
+        assert int(a[k]) == int(b[k]), k
+    an, bn = a["join_out"].to_numpy(), b["join_out"].to_numpy()
+    for k in ("recid", "num", "strs", "valid"):
+        np.testing.assert_array_equal(an[k], bn[k])
+    for k in a["aggs"]:
+        np.testing.assert_array_equal(
+            np.asarray(a["aggs"][k]), np.asarray(b["aggs"][k])
+        )
+
+
+@pytest.mark.parametrize("field", [0, 1])
+def test_hash_join_packed_sorts_bit_equal(rng, field):
+    from database_technology_algorithms_tpu.config import EngineConfig
+    from database_technology_algorithms_tpu.ops.hash_join import (
+        hash_join_count_impl,
+    )
+
+    build = M.random_cols(rng, 700, key_range=90)
+    probe = M.random_cols(rng, 900, key_range=90)
+    bb, pb = M.to_batch(build), M.to_batch(probe)
+    ma, mua, na = hash_join_count_impl(
+        bb, pb, field, EngineConfig(packed_u32_sorts=True),
+        build_count=600, probe_count=800,
+    )
+    mb, mub, nb_ = hash_join_count_impl(
+        bb, pb, field, EngineConfig(packed_u32_sorts=False),
+        build_count=600, probe_count=800,
+    )
+    assert int(na) == int(nb_)
+    np.testing.assert_array_equal(np.asarray(ma), np.asarray(mb))
+    np.testing.assert_array_equal(np.asarray(mua), np.asarray(mub))
+
+
+def test_place_batch_matches_payload_words(rng):
+    """place_batch (valid folded into the dest key) must equal the
+    payload_words placement exactly, including the valid column and
+    capacity zeroing."""
+    from database_technology_algorithms_tpu.batch import RecordBatch
+    from database_technology_algorithms_tpu.ops.movement import (
+        place_batch,
+        place_grouped,
+    )
+
+    cols = M.random_cols(rng, 600, key_range=50)
+    cols["valid"][::3] = False
+    b = M.to_batch(cols)
+    n = b.nrows
+    cnt = 400
+    dest = jnp.asarray(rng.permutation(n).astype(np.uint32))
+    got = place_batch(dest, jnp.int32(cnt), b)
+    ref_words = place_grouped(dest, jnp.int32(cnt), b.payload_words())
+    ref = RecordBatch.from_payload_words(ref_words)
+    gn, rn = got.to_numpy(), ref.to_numpy()
+    for k in ("recid", "num", "strs", "valid"):
+        np.testing.assert_array_equal(gn[k], rn[k], err_msg=k)
