@@ -245,9 +245,28 @@ def make_pipeline_staged(field: int = 1, cfg: EngineConfig = DEFAULT_CONFIG):
          placement sorts in ONE executable (identical unrolled sorts
          compile cheaply: ~25 s measured vs ~80 s for one alone)
     """
-    from ..ops.movement import place_batch, place_words_2d, use_sort_placement
+    from ..batch import canonical_field
+    from ..ops.movement import (
+        place_batch,
+        place_join_by_key,
+        place_words_2d,
+        use_sort_placement,
+    )
     from ..ops.scan import seg_carry, seg_max, seg_min
     from ..ops.sort import survivor_dest
+
+    fld = canonical_field(field)
+    # u32 key fields materialize WITHOUT a dest permutation: matched packs
+    # into the perm word (1-operand back sort instead of 2) and stage B
+    # sorts R directly by the packed (unmatched, key) — r4, saves ~1 ms
+    # of the 2M-row back-sort per run (movement.place_join_by_key)
+    def _direct_place(r):
+        return (
+            fld in (0, 1)
+            and cfg.packed_u32_sorts
+            and cfg.materialize != "sort2d"
+            and 4 + r.str_words <= 8
+        )
 
     def stage_a(r: RecordBatch, s: RecordBatch) -> dict:
         nr = r.nrows
@@ -264,17 +283,25 @@ def make_pipeline_staged(field: int = 1, cfg: EngineConfig = DEFAULT_CONFIG):
             seg_max(jnp.flip(end_flags), jnp.flip(is_s.astype(jnp.uint32)))
         ) == 1
         matched = r_first & any_s_suffix
-        dest, cnt = survivor_dest(view.perm, matched)
-        return {
+        out = {
             "nunique_r": jnp.sum(r_first, dtype=jnp.int32),
             "nunique_s": jnp.sum(s_first, dtype=jnp.int32),
             "merge_nres": jnp.sum(matched, dtype=jnp.int32),
             "hash_nres": jnp.sum((s_first & run_has_r).astype(jnp.int32)),
-            "dest": dest[:nr].astype(jnp.uint32),
-            "cnt": cnt,
+            "cnt": jnp.sum(matched, dtype=jnp.int32),
             "perm": view.perm,
             "matched": matched,
         }
+        if _direct_place(r) and use_sort_placement(cfg):
+            packed = (view.perm.astype(jnp.uint32) << 1) | matched.astype(
+                jnp.uint32
+            )
+            (sp,) = jax.lax.sort((packed,), num_keys=1)
+            out["matched_r"] = (sp[:nr] & 1) == 1
+        else:
+            dest, _ = survivor_dest(view.perm, matched)
+            out["dest"] = dest[:nr].astype(jnp.uint32)
+        return out
 
     jit_a = jax.jit(stage_a)
     if cfg.materialize == "sort2d":
@@ -295,7 +322,13 @@ def make_pipeline_staged(field: int = 1, cfg: EngineConfig = DEFAULT_CONFIG):
         nr = r.nrows
         out = jit_a(r, s)
         if use_sort_placement(cfg):
-            mj_out = place_all(out["dest"], out["cnt"], r)
+            if "matched_r" in out:
+                key_r = r.recid if fld == 0 else r.num
+                mj_out = place_join_by_key(
+                    out["matched_r"], key_r, out["cnt"], r
+                )
+            else:
+                mj_out = place_all(out["dest"], out["cnt"], r)
         else:
             cnt, (orig_front,) = compact_words(
                 out["matched"], (out["perm"],)

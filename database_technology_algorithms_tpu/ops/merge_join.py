@@ -23,7 +23,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from ..batch import RecordBatch
+from ..batch import RecordBatch, canonical_field
 from ..config import DEFAULT_CONFIG, EngineConfig
 from ._jit import per_static_jit
 from .distinct import distinct_impl
@@ -92,11 +92,33 @@ def join_sorted_distinct_impl(
     (grouped placement sorts at R capacity, not 2x); the gather path
     materializes from the concatenation and slices.
     """
-    from .movement import permute_rows, use_sort_placement
+    from .movement import (
+        permute_rows,
+        place_join_by_key,
+        use_sort_placement,
+    )
     from .sort import materialize_survivors, survivor_dest
 
+    fld = canonical_field(field)
     both, view, matched = join_view(r, r_count, s, s_count, field, cfg)
     if use_sort_placement(cfg):
+        if (
+            fld in (0, 1)
+            and cfg.packed_u32_sorts
+            and cfg.materialize != "sort2d"
+            and 4 + r.str_words <= 8
+        ):
+            # u32 keys: skip the dest permutation — matched packs into the
+            # perm word (1-op back sort) and the survivor placement IS a
+            # direct sort of R by (unmatched, key) (r4, movement.py)
+            nres = jnp.sum(matched, dtype=jnp.int32)
+            packed = (view.perm.astype(jnp.uint32) << 1) | matched.astype(
+                jnp.uint32
+            )
+            (sp,) = jax.lax.sort((packed,), num_keys=1)
+            matched_r = (sp[: r.nrows] & 1) == 1
+            key_r = r.recid if fld == 0 else r.num
+            return place_join_by_key(matched_r, key_r, nres, r), nres
         dest, nres = survivor_dest(view.perm, matched)
         # every matched rank lives in the R half; unmatched R rows keep
         # unique sink destinations >= nres, so dest[:nr] is still unique

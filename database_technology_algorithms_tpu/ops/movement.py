@@ -154,6 +154,42 @@ def _place_batch_fused(dest, cnt, recid, num, strw, valid):
     return cols[0], cols[1], jnp.stack(cols[2:], axis=1), valid_o
 
 
+@jax.jit
+def _place_join_by_key_fused(matched, key, cnt, recid, num, strw):
+    """Join-output materialization WITHOUT a destination permutation.
+
+    The survivor placement "matched rows first, in (key, row-index)
+    order" is itself a sort of the R half by (unmatched, key, iota) —
+    so instead of deriving a dense dest permutation (a 2-operand back
+    sort over the CONCAT length) and placement-sorting by it, sort R
+    directly with the packed 2-word key (ops/sort.packed_u32_view_sort
+    layout) carrying the payload.  One program; output valid = live
+    (matched rows are active by construction).  u32 key fields only.
+    """
+    n = key.shape[0]
+    unm = (~matched).astype(jnp.uint32)
+    hi = (unm << 31) | (key >> 1)
+    lo = ((key & 1) << 31) | jnp.arange(n, dtype=jnp.uint32)
+    ops = (hi, lo, recid, num) + tuple(
+        strw[:, j] for j in range(strw.shape[1])
+    )
+    out = jax.lax.sort(ops, num_keys=2)
+    live = jnp.arange(n, dtype=jnp.int32) < cnt
+    cols = [jnp.where(live, w, 0) for w in out[2:]]
+    return cols[0], cols[1], jnp.stack(cols[2:], axis=1), live
+
+
+def place_join_by_key(
+    matched: jax.Array, key: jax.Array, cnt: jax.Array, batch: RecordBatch
+) -> RecordBatch:
+    """See _place_join_by_key_fused. ``matched`` and ``key`` are per-row
+    of ``batch`` (original order); rows past ``cnt`` zeroed."""
+    recid, num, strw, valid = _place_join_by_key_fused(
+        matched, key, cnt, batch.recid, batch.num, batch.strw
+    )
+    return RecordBatch(recid=recid, num=num, strw=strw, valid=valid)
+
+
 def place_batch(
     dest: jax.Array,
     cnt: jax.Array | None,
