@@ -189,28 +189,20 @@ def build_variant(name, r, s):
     from database_technology_algorithms_tpu.ops.hash_join import (
         hash_join_count_impl,
     )
-    from database_technology_algorithms_tpu.ops.movement import (
-        place_batch,
-        sort_words,
-    )
-    from database_technology_algorithms_tpu.ops.sort import sort_keys, survivor_dest
+    from database_technology_algorithms_tpu.ops.movement import place_batch
+    from database_technology_algorithms_tpu.ops.sort import survivor_dest
 
     if name == "sort":
+        from database_technology_algorithms_tpu.ops.sort import (
+            sort_batch_impl,
+        )
 
-        def _sort_stage(r):
-            view = sort_keys(r, 1)
-            _, (dest,) = sort_words(
-                [view.perm.astype(jnp.uint32)],
-                (jnp.arange(r.nrows, dtype=jnp.int32),),
-                stable_iota=False,
-            )
-            return dest.astype(jnp.uint32)
-
-        jit_sortdest = jax.jit(_sort_stage)
+        cfg_sort = EngineConfig(materialize="sort")
+        jit_sort = jax.jit(lambda r: sort_batch_impl(r, 1, cfg_sort))
 
         def call(r):
-            dest = jit_sortdest(r)
-            return place_batch(dest, jnp.int32(ROWS), r).num
+            out, perm = jit_sort(r)
+            return out.num
 
         return (lambda r, s: call(r)), (lambda: {})
 

@@ -239,6 +239,14 @@ def _fused_matched_mult(
     # Only mult rides the un-permute — matched is mult > 0 by definition
     # (the r3 form carried a redundant matched operand; 3 -> 2 ops, r4)
     ord_key = jnp.where(~s_build, view_perm, jnp.int32(n)).astype(jnp.uint32)
+    if field in (0, 1) and cfg.packed_u32_sorts:
+        # fields 0/1 discard the multiplicity (hash_join_count_impl reads
+        # only matched): the match BIT packs into the ord word — the
+        # un-permute shrinks to ONE operand (2 -> 1, r4)
+        packed = (ord_key << 1) | (mult_sorted > 0).astype(jnp.uint32)
+        (sp,) = jax.lax.sort((packed,), num_keys=1)
+        matched = (sp[:npr] & 1) == 1
+        return matched, matched.astype(jnp.int32)
     out = jax.lax.sort((ord_key, mult_sorted), num_keys=1)
     mult = out[1][:npr]
     return (mult > 0), mult

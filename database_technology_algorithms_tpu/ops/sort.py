@@ -294,6 +294,39 @@ def sort_batch_impl(
     ensure_device_budget(n, cfg, "sort_batch")
     if n <= 1:
         return batch, jnp.arange(n, dtype=jnp.int32)
+    if (
+        field in (0, 1)
+        and cfg.packed_u32_sorts
+        and use_sort_placement(cfg)
+        and 5 + batch.str_words <= 8
+    ):
+        # u32 keys at narrow width: ONE fused sort carries the whole
+        # record — packed 2-word key + 3+K payload words — instead of
+        # key sort + inverse-perm sort + placement sorts (9 operand-
+        # passes -> 5+K, r4).  valid rides as payload: it is not a sort
+        # key, and folding it into lo would change the iota tie order.
+        key = batch.recid if field == 0 else batch.num
+        iota = jnp.arange(n, dtype=jnp.int32)
+        inact = (
+            jnp.zeros(n, jnp.uint32)
+            if count is None
+            else (iota >= count).astype(jnp.uint32)
+        )
+        hi = (inact << 31) | (key >> 1)
+        lo = ((key & 1) << 31) | iota.astype(jnp.uint32)
+        k = batch.str_words
+        ops = (hi, lo, batch.recid, batch.num) + tuple(
+            batch.strw[:, j] for j in range(k)
+        ) + (batch.valid.astype(jnp.uint32),)
+        out = jax.lax.sort(ops, num_keys=2)
+        perm = (out[1] & jnp.uint32(0x7FFFFFFF)).astype(jnp.int32)
+        sorted_b = RecordBatch(
+            recid=out[2],
+            num=out[3],
+            strw=jnp.stack(out[4 : 4 + k], axis=1),
+            valid=out[4 + k] == 1,
+        )
+        return sorted_b, perm
     pre = ()
     if count is not None:
         inactive = (jnp.arange(n, dtype=jnp.int32) >= count).astype(jnp.uint32)
