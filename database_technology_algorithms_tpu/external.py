@@ -89,16 +89,40 @@ def _searchsorted_rows(sorted_words: np.ndarray, split: np.ndarray, side: str) -
     return lo
 
 
+def _chunk_crc(chunk: dict) -> str:
+    """Content fingerprint of one input chunk (cheap host CRC)."""
+    import zlib
+
+    h = 0
+    for k in ("recid", "num", "strs", "valid"):
+        if k in chunk and chunk[k] is not None:
+            a = np.ascontiguousarray(np.asarray(chunk[k]))
+            h = zlib.crc32(a.tobytes(), h)
+    return f"{h:08x}"
+
+
 class SegmentStore:
-    """Spill directory of sorted column segments + manifest (resume unit)."""
+    """Spill directory of sorted column segments + manifest (resume unit).
+
+    Each spilled segment records a META fingerprint (sort field + input-
+    chunk CRC + row count); resume reuses a segment only when the
+    fingerprint matches the chunk being re-streamed — a reused spill dir
+    holding another run's segments (different field, different data, or a
+    crashed run's leftovers) recomputes instead of silently resuming
+    stale state (r4: a leftover field-1 spill dir once fed field-1-sorted
+    segments into a field-3 join through the CLI).
+    """
 
     def __init__(self, spill_dir: str):
         self.dir = pathlib.Path(spill_dir)
         self.dir.mkdir(parents=True, exist_ok=True)
         self.manifest_path = self.dir / "manifest.json"
-        self.manifest = {"segments": [], "stage": "runs", "ranges_done": []}
+        self.manifest = {
+            "segments": [], "segmeta": {}, "stage": "runs", "ranges_done": []
+        }
         if self.manifest_path.exists():
             self.manifest = json.loads(self.manifest_path.read_text())
+            self.manifest.setdefault("segmeta", {})
 
     def save_manifest(self):
         tmp = self.manifest_path.with_suffix(".tmp")
@@ -110,14 +134,24 @@ class SegmentStore:
     def seg_path(self, i: int, name: str) -> pathlib.Path:
         return self.dir / f"segment{i}.{name}.npy"
 
-    def write_segment(self, i: int, cols: dict, keys: np.ndarray) -> int:
+    def segment_matches(self, i: int, meta: dict) -> bool:
+        return (
+            i in self.manifest["segments"]
+            and self.manifest["segmeta"].get(str(i)) == meta
+            and all(self.seg_path(i, c).exists() for c in self.COLS)
+        )
+
+    def write_segment(
+        self, i: int, cols: dict, keys: np.ndarray, meta: dict | None = None
+    ) -> int:
         nbytes = 0
         for name, arr in {**cols, "keys": keys}.items():
             np.save(self.seg_path(i, name), arr)
             nbytes += arr.nbytes
+        self.manifest["segmeta"][str(i)] = meta or {}
         if i not in self.manifest["segments"]:
             self.manifest["segments"].append(i)
-            self.save_manifest()
+        self.save_manifest()
         return nbytes
 
     def open_segment(self, i: int) -> tuple[dict, np.ndarray]:
@@ -173,7 +207,8 @@ def external_sort(
         n = len(chunk["recid"])
         assert n <= mem_rows, "chunk exceeds memory budget"
         total_rows += n
-        if nseg in store.manifest["segments"]:
+        meta = {"field": str(field), "crc": _chunk_crc(chunk), "nrows": n}
+        if store.segment_matches(nseg, meta):
             cols, keys = store.read_segment(nseg)  # resume: already spilled
         else:
             batch = RecordBatch.from_numpy(
@@ -184,7 +219,7 @@ def external_sort(
             cols = sorted_b.to_numpy()
             keys = _np_key_words(cols, field)
             stats.bytes_hbm += 2 * sum(v.nbytes for v in cols.values())
-            stats.bytes_host += store.write_segment(nseg, cols, keys)
+            stats.bytes_host += store.write_segment(nseg, cols, keys, meta)
         samples.append(keys[::sample_every])
         seg_sizes.append(n)
         nseg += 1
@@ -389,44 +424,63 @@ def _stream_semi_join(
     cfg: EngineConfig,
     cap: int,
     stats: OperatorStats,
+    field3_mult: bool = False,
 ) -> Iterator[dict]:
     """Merge-cursor semi-join over two KEY-ORDERED host chunk streams.
 
     Yields, in the emit stream's (global key) order, the emit-stream rows
-    whose key appears in the member stream.  Contract: the member stream is
-    globally DISTINCT on the key (each key lives in exactly one member
-    chunk, so a per-chunk-pair membership test plus an OR-accumulated mask
-    is exact); the emit stream is merely sorted.  This is the bounded-
-    memory heir of the reference's ring-buffer two-pointer merge
-    (``DatabaseProject.cpp:406-494``): at most one chunk of each stream is
-    resident, and each device call sees <= 2*cap rows.
+    whose key appears in the member stream.  Both streams need only be
+    SORTED: boolean membership ORs across member chunks, and build
+    multiplicity is ADDITIVE across them (each member row lives in exactly
+    one chunk), so per-chunk-pair multiplicities accumulate exactly.  This
+    is the bounded-memory heir of the reference's ring-buffer two-pointer
+    merge (``DatabaseProject.cpp:406-494``): at most one chunk of each
+    stream is resident, and each device call sees <= 2*cap rows.
+
+    ``field3_mult=True`` applies the reference HashJoin's multimap
+    semantics (``DatabaseProject.cpp:619-628``) on field '3': ``nres``
+    sums build multiplicity and each matched emit row is repeated that
+    many times (matching the in-memory ``materialize_field3`` output).
 
     Advance rule: after testing the current pair, the side whose max key
     is smaller cannot match anything later on the other side — flush (emit
-    side) or drop (member side) and pull its next chunk.
+    side) or drop (member side) and pull its next chunk.  The member
+    stream is drained at the end either way so its generator finalizes
+    (stats totals + spill cleanup).
     """
+    from .batch import canonical_field
     from .ops.hash_join import hash_join_count
 
+    fld = canonical_field(field)
+    expand = field3_mult and fld == 3
     ea = next(emit_chunks, None)
     mb = next(member_chunks, None)
-    mask = None if ea is None else np.zeros(len(ea["recid"]), bool)
+    macc = None if ea is None else np.zeros(len(ea["recid"]), np.int64)
 
     def flush(cols, m):
-        stats.rows_out += int(m.sum())
-        stats.nres += int(m.sum())
-        if m.any():
-            return {k: np.asarray(v)[m] for k, v in cols.items()}
-        return None
+        matched = m > 0
+        if expand:
+            stats.nres += int(m.sum())
+        else:
+            stats.nres += int(matched.sum())
+        if not matched.any():
+            return None
+        out = {k: np.asarray(v)[matched] for k, v in cols.items()}
+        if expand:
+            reps = m[matched]
+            out = {k: np.repeat(v, reps, axis=0) for k, v in out.items()}
+        stats.rows_out += len(out["recid"])
+        return out
 
     while ea is not None:
         n_e = len(ea["recid"])
         if mb is None:
             # member stream exhausted: nothing further can match
-            out = flush(ea, mask)
+            out = flush(ea, macc)
             if out is not None:
                 yield out
             ea = next(emit_chunks, None)
-            mask = None if ea is None else np.zeros(len(ea["recid"]), bool)
+            macc = None if ea is None else np.zeros(len(ea["recid"]), np.int64)
             continue
         e_min, e_max = _chunk_key_bounds(ea, field)
         m_min, m_max = _chunk_key_bounds(mb, field)
@@ -440,19 +494,24 @@ def _stream_semi_join(
             stats.bytes_hbm += sum(
                 int(np.asarray(v).nbytes) for v in (*ea.values(), *mb.values())
             )
-            matched, _, _ = hash_join_count(
+            _, mult, _ = hash_join_count(
                 mb_dev, eb_dev, field, cfg,
                 build_count=mn, probe_count=en,
             )
-            mask |= np.asarray(matched)[:n_e]
+            macc += np.asarray(mult)[:n_e]
         if e_max <= m_max:
-            out = flush(ea, mask)
+            out = flush(ea, macc)
             if out is not None:
                 yield out
             ea = next(emit_chunks, None)
-            mask = None if ea is None else np.zeros(len(ea["recid"]), bool)
+            macc = None if ea is None else np.zeros(len(ea["recid"]), np.int64)
         else:
             mb = next(member_chunks, None)
+    # drain the member stream: its generator's trailing code (stats
+    # accumulation, npasses, spill cleanup) must run even when the emit
+    # stream exhausted first (r4 review finding)
+    for _ in member_chunks:
+        pass
 
 
 def external_merge_join(
@@ -520,14 +579,21 @@ def external_hash_join(
     The reference HashJoin ignores its nmem_blocks contract — the build
     table grows without bound (``DatabaseProject.cpp:510-548``; SURVEY §2
     C7) — so the external form is a capability the reference claims but
-    does not have.  Semantics follow the reference driver's actual use
-    (HashJoin over dedup'd inputs, ``main.cpp:121``): the build side
-    collapses to a key SET via ``external_sort(distinct=True)``; the probe
-    side is only sorted (multiplicity preserved), and matched probe rows
-    stream out in probe-key order.  Same bounded residency as
+    does not have.  Reference semantics are preserved field-for-field:
+    fields 0-2 collapse the build side to a key SET (so it streams as
+    ``external_sort(distinct=True)``); field '3' keeps the multimap
+    multiplicity (``DatabaseProject.cpp:619-628``) — the build stream
+    stays merely SORTED and per-chunk multiplicities accumulate
+    additively, with each matched probe row emitted once per matching
+    build record, exactly like the in-memory ``materialize_field3`` path.
+    The probe side is sorted (multiplicity preserved) and matched probe
+    rows stream out in probe-key order.  Same bounded residency as
     :func:`external_merge_join`: one chunk per stream, <= mem_rows rows on
     device per membership call.
     """
+    from .batch import canonical_field
+
+    fld = canonical_field(field)
     stats = stats if stats is not None else OperatorStats(op="external_hash_join")
     mem_rows = mem_rows or cfg.mem_rows
     cap = max(mem_rows // 2, 1)
@@ -535,14 +601,16 @@ def external_hash_join(
     st_p = OperatorStats(op="external_sort_probe")
     b_sorted = external_sort(
         build_chunks, field, os.path.join(spill_dir, "b"), cfg,
-        mem_rows=cap, stats=st_b, distinct=True,
+        mem_rows=cap, stats=st_b, distinct=(fld != 3),
     )
     p_sorted = external_sort(
         probe_chunks, field, os.path.join(spill_dir, "p"), cfg,
         mem_rows=cap, stats=st_p, distinct=False,
     )
     t = Timer()
-    yield from _stream_semi_join(p_sorted, b_sorted, field, cfg, cap, stats)
+    yield from _stream_semi_join(
+        p_sorted, b_sorted, field, cfg, cap, stats, field3_mult=True
+    )
     stats.nsorted_segs = st_b.nsorted_segs + st_p.nsorted_segs
     stats.npasses = max(st_b.npasses, st_p.npasses) + 1
     stats.rows_in = st_b.rows_in + st_p.rows_in

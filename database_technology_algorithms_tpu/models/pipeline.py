@@ -556,13 +556,48 @@ def make_dist_pipeline_staged(
     ax = mesh.axis_names if len(mesh.axis_names) > 1 else mesh.axis_names[0]
     row = P(mesh.axis_names)
     pagg_spec = {"count": row, "sum": row, "min": row, "max": row}
-    ckpt = StageCheckpoints(ckpt_dir) if ckpt_dir else None
+    # the three stage programs are built once per input shape signature —
+    # rebuilding fresh jit objects per run() call would retrace and
+    # recompile every stage on every step (r4 review finding)
+    _prog_cache: dict = {}
 
     def run(rb: RecordBatch, rc, sb: RecordBatch, sc) -> dict:
         per_r = rb.nrows // ndev
         per_s = sb.nrows // ndev
         cap_r, cap_s = _dist_caps(per_r, per_s, ndev, cfg)
         resumed: list[str] = []
+        # fingerprint ties checkpoints to THIS run's inputs/config: a
+        # reused --stage-checkpoints dir with different data, field, or
+        # engine must recompute, not resume stale shards
+        if ckpt_dir:
+            from ..parallel.checkpoint import local_content_tag
+
+            ckpt = StageCheckpoints(
+                ckpt_dir,
+                fingerprint={
+                    "field": int(field) if not isinstance(field, str) else field,
+                    "ndev": ndev,
+                    "shapes": [rb.nrows, sb.nrows, rb.str_words, sb.str_words],
+                    "cfg": [cfg.shuffle_slack, cfg.shuffle_nchunks,
+                            cfg.dist_join_engine, cfg.packed_u32_sorts],
+                },
+                # per-process content hash: same-shaped DIFFERENT data in a
+                # reused dir must recompute, never resume
+                local_tag=local_content_tag(
+                    [rb.recid, rb.num, rb.strw, rb.valid, rc,
+                     sb.recid, sb.num, sb.strw, sb.valid, sc]
+                ),
+            )
+        else:
+            ckpt = None
+
+        shape_key = (rb.nrows, sb.nrows, rb.str_words, sb.str_words)
+        progs = _prog_cache.setdefault(shape_key, {})
+
+        def _prog(name, build):
+            if name not in progs:
+                progs[name] = resilient_jit(build)
+            return progs[name]
 
         # ---- stage 1: local (filter + dedup + partial aggregates) -------
         def a_body(rb_, rc_, sb_, sc_):
@@ -588,12 +623,13 @@ def make_dist_pipeline_staged(
             pagg = {k: a[f"pg_{k}"] for k in ("count", "sum", "min", "max")}
             resumed.append("local")
         else:
-            rloc, nur, sloc, pagg, nus = resilient_jit(
+            rloc, nur, sloc, pagg, nus = _prog(
+                "local",
                 lambda: jax.jit(shard_map(
                     a_body, mesh=mesh, in_specs=(row, row, row, row),
                     out_specs=(row, row, row, pagg_spec, row),
                     check_vma=False,
-                ))
+                )),
             )(rb, rc, sb, sc)
             if ckpt is not None:
                 ckpt.save_stage("local", {
@@ -635,13 +671,14 @@ def make_dist_pipeline_staged(
             resumed.append("shuffle")
         else:
             npx = 4
-            rsh, rtot, ssh, s_px, stot, ovf = resilient_jit(
+            rsh, rtot, ssh, s_px, stot, ovf = _prog(
+                "shuffle",
                 lambda: jax.jit(shard_map(
                     b_body, mesh=mesh,
                     in_specs=(row, row, row, pagg_spec, row),
                     out_specs=(row, row, row, (row,) * npx, row, P()),
                     check_vma=False,
-                ))
+                )),
             )(rloc, nur, sloc, pagg, nus)
             sh_ovf = int(ovf)
             if ckpt is not None:
@@ -664,7 +701,8 @@ def make_dist_pipeline_staged(
                 field, cfg, ndev, ax, cap_r, cap_s,
             )
 
-        out = resilient_jit(
+        out = _prog(
+            "join",
             lambda: jax.jit(shard_map(
                 c_body, mesh=mesh,
                 in_specs=(row, row, row, (row,) * 4, row),
@@ -686,6 +724,12 @@ def make_dist_pipeline_staged(
         out = dict(out)
         out["overflow"] = int(out["overflow"]) + sh_ovf
         out["resumed_stages"] = resumed
+        if ckpt is not None:
+            # run complete: the checkpoints' purpose (resume a FAILED run)
+            # is spent — drop the shards so a reused dir can never serve
+            # stale intermediates and disk is reclaimed (the external
+            # sort's store.cleanup() convention)
+            ckpt.cleanup()
         return out
 
     return run

@@ -341,7 +341,14 @@ def _tiled_matched_mult(
     (astronomically unlikely) adversarial overflow is detected and the
     whole call falls back to the exact whole-table kernel via ``lax.cond``
     — exactness first, budget second, and the event is visible in the
-    overflow count (the bucket_join.py pattern).
+    overflow count (the bucket_join.py pattern).  Honest caveat: because
+    the fallback is a traced cond branch, XLA's buffer assignment reserves
+    its whole-table sort temporaries even when the tiled branch runs, so
+    the discipline bounds the WORKING SET (what the sort network touches)
+    rather than the executable's HBM reservation; a host-level retry
+    above the jit boundary would fix that but per_static_jit always
+    traces this path.  Murmur-hashed destinations make the branch
+    all-but-unreachable at 2x slack.
     """
     from .keys import key_hash, key_words
     from .movement import stage_to_cells
@@ -363,6 +370,13 @@ def _tiled_matched_mult(
     hp = key_hash(probe, field) % jnp.uint32(ntiles)
     bkw = key_words(build, field)
     pkw = key_words(probe, field)
+    # cross-width string keys: the narrower side's missing trailing words
+    # are provably zero (narrow-width invariant), so zero-pad both lists
+    # to a common width — member_multiplicity zips them positionally and
+    # would otherwise compare only the shared prefix (r4 review finding)
+    nw = max(len(bkw), len(pkw))
+    bkw = bkw + [jnp.zeros(nb, jnp.uint32)] * (nw - len(bkw))
+    pkw = pkw + [jnp.zeros(npr, jnp.uint32)] * (nw - len(pkw))
     bcells, bcnt, _, ovf_b = stage_to_cells(hb, b_active, ntiles, cap_b, bkw)
     pcells, pcnt, slot_p, ovf_p = stage_to_cells(
         hp, p_active, ntiles, cap_p, pkw

@@ -27,6 +27,23 @@ import pathlib
 import numpy as np
 
 
+def local_content_tag(arrays) -> str:
+    """CRC over this process's addressable shards of the given arrays —
+    the per-process input-content fingerprint (cheap relative to the
+    checkpoint IO it guards)."""
+    import zlib
+
+    h = 0
+    for arr in arrays:
+        for s in sorted(
+            arr.addressable_shards, key=lambda s: s.index[0].start or 0
+        ):
+            h = zlib.crc32(
+                np.ascontiguousarray(np.asarray(s.data)).tobytes(), h
+            )
+    return f"{h:08x}"
+
+
 class StageCheckpoints:
     """Sharded per-stage checkpoint store for one pipeline run.
 
@@ -36,7 +53,20 @@ class StageCheckpoints:
     this process's row offset, replicated scalars).
     """
 
-    def __init__(self, ckpt_dir: str):
+    def __init__(
+        self,
+        ckpt_dir: str,
+        fingerprint: dict | None = None,
+        local_tag: str = "",
+    ):
+        """``fingerprint`` identifies the RUN globally (input shapes,
+        field, config knobs; identical on every process) and is pinned in
+        the shared manifest; ``local_tag`` is a per-PROCESS content hash
+        of this process's input shards, pinned in the per-process meta.
+        Stages checkpointed under a different fingerprint OR content tag
+        are ignored — a reused directory must never resume another run's
+        intermediates, even for same-shaped different data (r4 review
+        finding)."""
         import jax
 
         self.dir = pathlib.Path(ckpt_dir)
@@ -44,22 +74,36 @@ class StageCheckpoints:
         self.pid = jax.process_index()
         self.nproc = jax.process_count()
         self.manifest_path = self.dir / "manifest.json"
+        self.fingerprint = fingerprint or {}
+        self.local_tag = local_tag
 
     # ---- manifest --------------------------------------------------------
 
     def _manifest(self) -> dict:
         if self.manifest_path.exists():
             return json.loads(self.manifest_path.read_text())
-        return {"done": []}
+        return {"done": [], "fingerprint": self.fingerprint}
 
     def stage_done(self, stage: str) -> bool:
-        return (
-            stage in self._manifest()["done"]
-            and (self.dir / f"{stage}.p{self.pid}.npz").exists()
-        )
+        m = self._manifest()
+        if m.get("fingerprint") != self.fingerprint:
+            return False  # stale checkpoints from a different run/config
+        if stage not in m["done"]:
+            return False
+        meta_p = self.dir / f"{stage}.p{self.pid}.meta.json"
+        if not (self.dir / f"{stage}.p{self.pid}.npz").exists():
+            return False
+        if not meta_p.exists():
+            return False
+        meta = json.loads(meta_p.read_text())
+        # per-process input-content check: same shapes, different data
+        # must recompute
+        return meta.get("local_tag", "") == self.local_tag
 
     def _mark_done(self, stage: str) -> None:
         m = self._manifest()
+        if m.get("fingerprint") != self.fingerprint:
+            m = {"done": [], "fingerprint": self.fingerprint}
         if stage not in m["done"]:
             m["done"].append(stage)
         tmp = self.manifest_path.with_suffix(".tmp")
@@ -84,7 +128,8 @@ class StageCheckpoints:
         replicated host scalars in the meta)."""
         local: dict[str, np.ndarray] = {}
         meta: dict = {
-            "shapes": {}, "dtypes": {}, "lo": {}, "scalars": scalars or {}
+            "shapes": {}, "dtypes": {}, "lo": {},
+            "scalars": scalars or {}, "local_tag": self.local_tag,
         }
         for name, arr in arrays.items():
             shards = sorted(

@@ -111,3 +111,52 @@ def test_hash_join_over_budget_tiles(rng, field):
     probe_c = {k: v[:1100] for k, v in probe.items()}
     _, _, m_nres2 = M.model_hash_join(build_c, probe_c, field)
     assert int(nres2) == m_nres2
+
+
+def test_hash_join_over_budget_tiles_cross_width(rng):
+    """Tiled over-budget join with CROSS-WIDTH string keys (build stored
+    at 2 words, probe at 4): the key-word lists must zero-pad to a common
+    width — the r4 review caught a silent common-prefix truncation."""
+    import numpy as np
+
+    import model as M
+    from database_technology_algorithms_tpu.batch import RecordBatch
+    from database_technology_algorithms_tpu.config import EngineConfig
+    from database_technology_algorithms_tpu.ops.hash_join import (
+        hash_join_count_impl,
+    )
+
+    g = np.random.default_rng(9)
+    nb, npr = 900, 1200
+    # probe strings 12 chars (4-word bucket); build 5 chars (2-word bucket)
+    # with several probe strings sharing the build's first 8 chars exactly
+    bs = np.zeros((nb, 8), np.uint8)
+    bs[:, :5] = g.integers(97, 123, size=(nb, 5), dtype=np.uint8)
+    ps = np.zeros((npr, 16), np.uint8)
+    ps[:, :12] = g.integers(97, 123, size=(npr, 12), dtype=np.uint8)
+    # plant: probe rows 0-49 share build row 0's 5 chars then continue
+    ps[:50, :5] = bs[0, :5]
+    ps[:50, 5:12] = g.integers(97, 123, size=(50, 7), dtype=np.uint8)
+    # plant true matches: probe rows 50-59 equal build row 1 exactly
+    ps[50:60] = 0
+    ps[50:60, :5] = bs[1, :5]
+    build = {
+        "recid": np.arange(nb, dtype=np.uint32),
+        "num": g.integers(0, 100, nb, dtype=np.uint32).astype(np.uint32),
+        "strs": bs,
+        "valid": np.ones(nb, bool),
+    }
+    probe = {
+        "recid": np.arange(npr, dtype=np.uint32),
+        "num": g.integers(0, 100, npr, dtype=np.uint32).astype(np.uint32),
+        "strs": ps,
+        "valid": np.ones(npr, bool),
+    }
+    bb = RecordBatch.from_numpy(**build)
+    pb = RecordBatch.from_numpy(**probe)
+    assert bb.str_words == 2 and pb.str_words == 4  # genuinely cross-width
+    tiny = EngineConfig(mem_rows=512)  # forces the tiled path
+    matched, _, nres = hash_join_count_impl(bb, pb, 2, tiny)
+    m_matched, _, m_nres = M.model_hash_join(build, probe, 2)
+    assert int(nres) == m_nres
+    np.testing.assert_array_equal(np.asarray(matched), np.asarray(m_matched))

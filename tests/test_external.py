@@ -217,10 +217,15 @@ def test_external_merge_join_parity(rng, tmp_path, field):
 
 @pytest.mark.parametrize("field", [0, 1, 3])
 def test_external_hash_join_parity(rng, tmp_path, field):
-    """Probe multiplicity preserved (semi-join), build collapsed to a key
-    set — the reference driver's HashJoin-on-dedup'd-inputs semantics
-    (main.cpp:121) under a bounded device budget."""
+    """Reference HashJoin semantics under a bounded device budget: probe
+    multiplicity preserved (semi-join); fields 0-2 collapse the build to
+    a key set; field '3' keeps the multimap multiplicity — matched probe
+    rows emit once per DUPLICATE build pair (DatabaseProject.cpp:619-628),
+    exactly like the in-memory materialize_field3 path."""
     build = M.random_cols(rng, 1800, key_range=300)
+    # inject duplicate build rows so field-3 multiplicity > 1 is exercised
+    dup = {k: v[:150] for k, v in build.items()}
+    build = {k: np.concatenate([v, dup[k]]) for k, v in build.items()}
     probe = M.random_cols(rng, 2600, key_range=300)
     mem = 700
     stats = OperatorStats()
@@ -234,16 +239,50 @@ def test_external_hash_join_parity(rng, tmp_path, field):
         {k: np.concatenate([c[k] for c in out]) for k in out[0]}
         if out else {"recid": np.zeros(0, np.uint32), "num": np.zeros(0, np.uint32)}
     )
-    # model on dedup'd build (the external driver's documented contract)
-    d_idx, _ = M.model_distinct(build, field)
-    build_d = {k: v[d_idx] for k, v in build.items()}
-    m_matched, m_mult, m_nres = M.model_hash_join(build_d, probe, field)
+    m_matched, m_mult, m_nres = M.model_hash_join(build, probe, field)
     assert stats.nres == m_nres
-    keep = [i for i, m in enumerate(m_matched) if m]
-    exp = sorted(zip(probe["recid"][keep].tolist(), probe["num"][keep].tolist()))
+    if field == 3:
+        # multimap expansion: probe row i appears m_mult[i] times
+        exp = sorted(
+            (int(probe["recid"][i]), int(probe["num"][i]))
+            for i in range(len(m_mult))
+            for _ in range(m_mult[i])
+        )
+    else:
+        keep = [i for i, m in enumerate(m_matched) if m]
+        exp = sorted(
+            zip(probe["recid"][keep].tolist(), probe["num"][keep].tolist())
+        )
     got = sorted(zip(merged["recid"].tolist(), merged["num"].tolist()))
     assert got == exp
     assert 0 < stats.peak_range_rows <= mem
+
+
+def test_external_join_member_stream_drained(rng, tmp_path):
+    """Emit stream exhausting first must still finalize the member
+    stream's sort (per-side stats + spill cleanup — r4 review finding)."""
+    r = M.random_cols(rng, 800, key_range=100)
+    r["num"] = (r["num"] % 50).astype(np.uint32)  # R keys all <= 49
+    s = M.random_cols(rng, 1600, key_range=400)  # S spans far above
+    mem = 400
+    stats = OperatorStats()
+    out = list(
+        external_merge_join(
+            _chunks_of(r, mem // 2), _chunks_of(s, mem // 2), 1,
+            str(tmp_path / "dr"), mem_rows=mem, stats=stats,
+        )
+    )
+    m_idx, m_nres = M.model_merge_join(r, s, 1)
+    assert stats.nres == m_nres
+    # nunique_s covers the WHOLE S input, not just the chunks pulled
+    # before R exhausted
+    _, nu_s = M.model_distinct(s, 1)
+    assert stats.nunique_s == nu_s
+    # the S-side spill dir was cleaned up by the drained generator
+    import pathlib
+
+    leftovers = list((pathlib.Path(tmp_path) / "dr" / "s").glob("segment*"))
+    assert leftovers == []
 
 
 def test_external_merge_join_resume(rng, tmp_path):
@@ -296,3 +335,32 @@ def test_blockfile_writer_streaming(rng, tmp_path):
     assert len(back["recid"]) == 1234
     np.testing.assert_array_equal(back["recid"], cols["recid"])
     np.testing.assert_array_equal(back["num"], cols["num"])
+
+
+def test_external_sort_stale_spill_dir_recomputes(rng, tmp_path):
+    """A reused spill dir holding ANOTHER run's segments (different field
+    or data) must recompute, never resume stale state (r4: a leftover
+    field-1 spill dir fed field-1-sorted segments into a field-3 run)."""
+    cols = M.random_cols(rng, 1000, key_range=80)
+    spill = str(tmp_path / "stale")
+
+    # run 1: field 1, abandoned mid-run so segments stay on disk
+    gen = external_sort(_chunks_of(cols, 256), 1, spill, mem_rows=256)
+    next(gen)
+    del gen
+    assert len(SegmentStore(spill).manifest["segments"]) >= 1
+
+    # run 2: SAME dir, field 2 — must not reuse the field-1 segments
+    out = list(external_sort(_chunks_of(cols, 256), 2, spill, mem_rows=256))
+    merged = {k: np.concatenate([c[k] for c in out]) for k in out[0]}
+    keys = M.all_keys(merged, 2)
+    assert keys == sorted(M.all_keys(cols, 2))
+
+    # run 3: same dir again, DIFFERENT data, field 2
+    cols2 = M.random_cols(rng, 1000, key_range=80)
+    gen = external_sort(_chunks_of(cols, 256), 2, spill, mem_rows=256)
+    next(gen)
+    del gen  # leave segments for cols
+    out = list(external_sort(_chunks_of(cols2, 256), 2, spill, mem_rows=256))
+    merged = {k: np.concatenate([c[k] for c in out]) for k in out[0]}
+    assert M.all_keys(merged, 2) == sorted(M.all_keys(cols2, 2))

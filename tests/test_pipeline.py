@@ -297,3 +297,46 @@ def test_pipeline_staged_checkpoint_resume(rng, tmp_path):
     assert out2["resumed_stages"] == []
     for k in ("nunique_r", "nunique_s", "merge_nres", "hash_nres"):
         assert int(out2[k]) == int(single[k]), k
+
+
+def test_pipeline_staged_checkpoint_fingerprint(rng, tmp_path):
+    """A reused checkpoint dir must never resume another run's
+    intermediates: different inputs (or config) under the same dir
+    recompute from scratch (r4 review finding), and a COMPLETED run
+    cleans its shards up."""
+    import os
+
+    from database_technology_algorithms_tpu.models.pipeline import (
+        make_dist_pipeline_staged,
+    )
+    from database_technology_algorithms_tpu.parallel.checkpoint import (
+        InjectedStageFailure,
+    )
+
+    mesh = make_mesh()
+    ck = str(tmp_path / "fp")
+    c1 = M.random_cols(rng, 600, key_range=50)
+    c2 = M.random_cols(rng, 600, key_range=50)
+    t1, t2 = distribute(mesh, c1), distribute(mesh, c2)
+
+    # die after stage 1 with run A's data
+    import pytest as _pytest
+
+    run_fail = make_dist_pipeline_staged(
+        mesh, 1, CFG, ckpt_dir=ck, fail_after="local"
+    )
+    with _pytest.raises(InjectedStageFailure):
+        run_fail(t1.batch, t1.count, t2.batch, t2.count)
+
+    # run B: DIFFERENT data, same dir — must NOT resume run A's stage
+    d1 = M.random_cols(rng, 600, key_range=50)
+    d2 = M.random_cols(rng, 600, key_range=50)
+    u1, u2 = distribute(mesh, d1), distribute(mesh, d2)
+    run_b = make_dist_pipeline_staged(mesh, 1, CFG, ckpt_dir=ck)
+    out_b = run_b(u1.batch, u1.count, u2.batch, u2.count)
+    assert out_b["resumed_stages"] == []
+    single_b = pipeline_single(M.to_batch(d1), M.to_batch(d2), 1, CFG)
+    for k in ("nunique_r", "nunique_s", "merge_nres", "hash_nres"):
+        assert int(out_b[k]) == int(single_b[k]), k
+    # completed run cleaned its shards
+    assert [f for f in os.listdir(ck) if f.endswith(".npz")] == []
