@@ -49,24 +49,29 @@ def timed_steady(fn, args, k: int = 6, reps: int = 2):
     subtracts a single-dispatch run: cancels the fixed per-call round trip
     (~26 ms through the axon tunnel) without wrapping the program in
     lax.fori_loop (loop-wrapped sort programs compile pathologically).
+
+    Estimator (r4): the minima of the direct t1/tk measurements are taken
+    INDEPENDENTLY before subtracting — best-of over per-rep differences
+    biases low under the tunnel's one-sided noise (a spiked t1 makes its
+    rep's difference undershoot; small programs "measured" 0.00 ms).
     """
     f = jax.jit(fn)
     t0 = time.perf_counter()
     fence(f(*args))
     compile_s = time.perf_counter() - t0
-    best = float("inf")
+    t1s, tks = [], []
     for _ in range(reps):
         t0 = time.perf_counter()
         fence(f(*args))
-        t1 = time.perf_counter() - t0
+        t1s.append(time.perf_counter() - t0)
         t0 = time.perf_counter()
         out = None
         for _ in range(k):
             out = f(*args)
         fence(out)
-        tk = time.perf_counter() - t0
-        best = min(best, max((tk - t1) / (k - 1), 1e-9))
-    return best, compile_s
+        tks.append(time.perf_counter() - t0)
+    per = max((min(tks) - min(t1s)) / (k - 1), 1e-9)
+    return per, compile_s
 
 
 @contextlib.contextmanager
