@@ -290,7 +290,6 @@ def cmd_mergejoin(args) -> int:
     from .batch import canonical_field
     from .io.blockfile import BlockFileWriter, read_blockfile, write_blockfile
     from .ops.filter import truncate
-    from .ops.merge_join import merge_join
 
     field = canonical_field(args.field)
     mem_rows = _external_budget(args, args.infile1, args.infile2)
@@ -326,15 +325,20 @@ def cmd_mergejoin(args) -> int:
     r = read_blockfile(args.infile1)
     s = read_blockfile(args.infile2)
     t0 = time.time()
-    out, nres, st = merge_join(r, s, field)
-    nres = int(nres)
-    write_blockfile(args.outfile, truncate(out, nres))
+    # the staged one-sort plan derives both dedups AND the intersection
+    # from a single fused view sort — ~2x the two-distincts-then-join
+    # composition on-chip (r4; models/pipeline.make_pipeline_staged)
+    from .models.pipeline import make_pipeline_staged
+
+    out = make_pipeline_staged(field)(r, s)
+    nres = int(out["merge_nres"])
+    write_blockfile(args.outfile, truncate(out["join_out"], nres))
     print(
         json.dumps(
             {
                 "nres": nres,
-                "nunique_r": int(st["nunique_r"]),
-                "nunique_s": int(st["nunique_s"]),
+                "nunique_r": int(out["nunique_r"]),
+                "nunique_s": int(out["nunique_s"]),
                 "wall_s": round(time.time() - t0, 4),
             }
         )
