@@ -251,6 +251,39 @@ def cmd_elimdup(args) -> int:
     from .ops.filter import truncate
 
     field = canonical_field(args.field)
+    mem_rows = _external_budget(args, args.infile)
+    if mem_rows is not None:
+        # bounded-memory DISTINCT: the external sort's distinct=True form
+        # (spill segments + manifest; EliminateDuplicates = MergeSort +
+        # adjacent dedup in the reference, DatabaseProject.cpp:94-170)
+        from .external import blockfile_chunks, external_sort
+        from .io.blockfile import BlockFileWriter
+        from .metrics import OperatorStats
+
+        stats = OperatorStats(op="external_distinct")
+        spill = os.path.join(args.workdir, "spill_ed")
+        t0 = time.time()
+        with BlockFileWriter(args.outfile) as w:
+            for chunk in external_sort(
+                blockfile_chunks(args.infile, mem_rows), field, spill,
+                mem_rows=mem_rows, stats=stats, distinct=True,
+            ):
+                w.append(chunk)
+        print(
+            json.dumps(
+                {
+                    "nunique": stats.rows_out,
+                    "rows": stats.rows_in,
+                    "external": True,
+                    "mem_rows": mem_rows,
+                    "nsorted_segs": stats.nsorted_segs,
+                    "npasses": stats.npasses,
+                    "peak_range_rows": stats.peak_range_rows,
+                    "wall_s": round(time.time() - t0, 4),
+                }
+            )
+        )
+        return 0
     batch = read_blockfile(args.infile)
     t0 = time.time()
     out, nunique = distinct(batch, field)
@@ -471,6 +504,11 @@ def main() -> int:
     ed.add_argument("infile")
     ed.add_argument("outfile")
     ed.add_argument("--field", default="1")
+    ed.add_argument("--mem-blocks", type=int, default=0,
+                    help="bounded-memory mode: device budget in 100-row "
+                         "blocks (0 = auto: external only when the input "
+                         "exceeds the default device budget)")
+    ed.add_argument("--workdir", default=".")
     ed.set_defaults(fn=cmd_elimdup)
 
     mj = sub.add_parser("mergejoin", help="sort-merge join two block files", parents=[common])
