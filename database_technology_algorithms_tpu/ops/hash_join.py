@@ -62,7 +62,8 @@ def build_key_multiset(
         act0 = jnp.arange(n, dtype=jnp.int32) < count
         pre = ((~act0).astype(jnp.uint32),)
         extra = (act0.astype(jnp.uint32),)
-    view = sort_keys(build, field, cfg, pre_words=pre, extra=extra)
+    view = sort_keys(build, field, cfg, pre_words=pre, extra=extra,
+                     pre_is_mask=True)
     active = (
         jnp.ones(n, dtype=bool) if count is None else view.extras[0] == 1
     )
@@ -123,6 +124,7 @@ def probe_multiplicity(
         both, field, cfg,
         pre_words=(inactive_w,),
         extra=(active.astype(jnp.uint32), counts_w),
+        pre_is_mask=True,
     )
     s_act, s_cnt = view.extras
     s_side = (view.perm >= nb).astype(jnp.uint32)
@@ -433,7 +435,21 @@ def hash_join_count_impl(
     if build.nrows + probe.nrows > cfg.mem_rows:
         # over-budget: device-tiled passes (the nmem_blocks heir routes
         # instead of refusing — VERDICT r3 #7); key-only cells, one cell
-        # pair resident per scan step
+        # pair resident per scan step.  Wide string keys would hand
+        # member_multiplicity a >30-operand sort — the documented compile
+        # cliff (sort.py module docstring) — so those keep the explicit
+        # budget gate and its pointer to the external drivers.
+        from .keys import key_words as _kw
+
+        # member_multiplicity's sort carries nw+2 operands; beyond ~16
+        # words the compile service approaches the >35-operand wedge
+        nw_max = max(len(_kw(build, field)), len(_kw(probe, field)))
+        if nw_max > 16:
+            from ..utils.checks import ensure_device_budget
+
+            ensure_device_budget(
+                build.nrows + probe.nrows, cfg, "hash_join_count[wide-key]"
+            )
         matched, mult = _tiled_matched_mult(
             build, probe, field, cfg, build_count, probe_count
         )
@@ -494,7 +510,15 @@ def hash_join_impl(
     the matched probe rows (deduplicated against build multiplicity); use
     ``hash_join_count``/``materialize_field3`` when the reference's
     row-repetition output is required.
+
+    MATERIALIZING form: the output compaction moves whole records over the
+    probe capacity, so an over-budget probe keeps the explicit gate (the
+    tiled route bounds only the count/mask kernel) — route oversized
+    materializing joins through ``external.external_hash_join``.
     """
+    from ..utils.checks import ensure_device_budget
+
+    ensure_device_budget(probe.nrows, cfg, "hash_join[materializing]")
     matched, _, nres = hash_join_count_impl(build, probe, field, cfg)
     out, _, _ = compact_rows(probe, matched)
     return out, nres

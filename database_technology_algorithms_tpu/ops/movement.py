@@ -155,7 +155,7 @@ def _place_batch_fused(dest, cnt, recid, num, strw, valid):
 
 
 @jax.jit
-def _place_join_by_key_fused(matched, key, cnt, recid, num, strw):
+def _place_join_by_key_fused(matched, key, cnt, recid, num, strw, valid):
     """Join-output materialization WITHOUT a destination permutation.
 
     The survivor placement "matched rows first, in (key, row-index)
@@ -163,20 +163,31 @@ def _place_join_by_key_fused(matched, key, cnt, recid, num, strw):
     so instead of deriving a dense dest permutation (a 2-operand back
     sort over the CONCAT length) and placement-sorting by it, sort R
     directly with the packed 2-word key (ops/sort.packed_u32_view_sort
-    layout) carrying the payload.  One program; output valid = live
-    (matched rows are active by construction).  u32 key fields only.
+    layout) carrying the payload.  One program; u32 key fields only.
+
+    The row's ORIGINAL valid flag rides in lo bit 30 (above iota, below
+    the key LSB): matched rows have unique keys so it never influences
+    their relative order, and rows past cnt are zeroed regardless — the
+    output preserves valid exactly like the permutation engines do
+    (liveness stays the count's business, r4 review finding).  Requires
+    n < 2^30.
     """
     n = key.shape[0]
     unm = (~matched).astype(jnp.uint32)
     hi = (unm << 31) | (key >> 1)
-    lo = ((key & 1) << 31) | jnp.arange(n, dtype=jnp.uint32)
+    lo = (
+        ((key & 1) << 31)
+        | (valid.astype(jnp.uint32) << 30)
+        | jnp.arange(n, dtype=jnp.uint32)
+    )
     ops = (hi, lo, recid, num) + tuple(
         strw[:, j] for j in range(strw.shape[1])
     )
     out = jax.lax.sort(ops, num_keys=2)
     live = jnp.arange(n, dtype=jnp.int32) < cnt
     cols = [jnp.where(live, w, 0) for w in out[2:]]
-    return cols[0], cols[1], jnp.stack(cols[2:], axis=1), live
+    valid_o = (((out[1] >> 30) & 1) == 1) & live
+    return cols[0], cols[1], jnp.stack(cols[2:], axis=1), valid_o
 
 
 def place_join_by_key(
@@ -185,7 +196,7 @@ def place_join_by_key(
     """See _place_join_by_key_fused. ``matched`` and ``key`` are per-row
     of ``batch`` (original order); rows past ``cnt`` zeroed."""
     recid, num, strw, valid = _place_join_by_key_fused(
-        matched, key, cnt, batch.recid, batch.num, batch.strw
+        matched, key, cnt, batch.recid, batch.num, batch.strw, batch.valid
     )
     return RecordBatch(recid=recid, num=num, strw=strw, valid=valid)
 
@@ -279,6 +290,12 @@ def stage_to_cells(
     (= nparts*cap for dropped/inactive rows), ``overflow`` the number of
     active rows that exceeded their cell's capacity (results for those
     rows are NOT staged; callers must detect and recover).
+
+    NOTE: ``parallel/overlap._partition_words_to_slots`` (U32_MAX filler,
+    slot semantics for the exchange) and ``ops/bucket_join._bucket_table``
+    (2-D table form, occupancy mask) are siblings of this trick with
+    incompatible output contracts; a fix to the rank/placeholder core here
+    should be cross-checked against both.
     """
     from .scan import seg_carry
 

@@ -298,6 +298,7 @@ def sort_batch_impl(
         field in (0, 1)
         and cfg.packed_u32_sorts
         and use_sort_placement(cfg)
+        and cfg.materialize != "sort2d"  # the 2-D engine stays selectable
         and 5 + batch.str_words <= 8
     ):
         # u32 keys at narrow width: ONE fused sort carries the whole

@@ -471,3 +471,83 @@ def test_place_batch_matches_payload_words(rng):
     gn, rn = got.to_numpy(), ref.to_numpy()
     for k in ("recid", "num", "strs", "valid"):
         np.testing.assert_array_equal(gn[k], rn[k], err_msg=k)
+
+
+@pytest.mark.parametrize("packed", [True, False])
+def test_join_preserves_valid_of_live_rows(rng, packed):
+    """Liveness is the count's business, valid the filter's: a LIVE row
+    with valid=False that matches must keep valid=False in the join
+    output under BOTH the packed direct-sort path and the permutation
+    path (r4 review: the first packed cut forced valid=True)."""
+    from database_technology_algorithms_tpu.ops.merge_join import (
+        join_sorted_distinct_impl,
+    )
+
+    cfg = EngineConfig(materialize="sort", packed_u32_sorts=packed)
+    n = 64
+    r = {
+        "recid": np.arange(n, dtype=np.uint32),
+        "num": (np.arange(n, dtype=np.uint32) * 3),
+        "strs": np.zeros((n, 8), np.uint8),
+        "valid": np.ones(n, bool),
+    }
+    r["valid"][::4] = False  # live rows carrying valid=False
+    s = {
+        "recid": np.arange(n, dtype=np.uint32) + 1000,
+        "num": (np.arange(n, dtype=np.uint32) * 3),  # all keys match
+        "strs": np.zeros((n, 8), np.uint8),
+        "valid": np.ones(n, bool),
+    }
+    out, nres = join_sorted_distinct_impl(
+        M.to_batch(r), jnp.int32(n), M.to_batch(s), jnp.int32(n), 1, cfg
+    )
+    assert int(nres) == n
+    o = out.to_numpy()
+    # output is in key order == recid order here; valid pattern preserved
+    np.testing.assert_array_equal(o["valid"][:n], r["valid"])
+    np.testing.assert_array_equal(o["recid"][:n], r["recid"])
+
+
+def test_over_budget_wide_key_join_refuses(rng):
+    """Wide string keys (stored width > 8 words) over the budget keep the
+    explicit gate: the tiled route would hand member_multiplicity a
+    >30-operand sort — the documented compile cliff."""
+    import pytest as _pytest
+
+    from database_technology_algorithms_tpu.ops.hash_join import (
+        hash_join_count_impl,
+    )
+    from database_technology_algorithms_tpu.utils.checks import (
+        MemoryBudgetError,
+    )
+
+    g = np.random.default_rng(5)
+    n = 600
+    strs = np.zeros((n, 128), np.uint8)
+    strs[:, :80] = g.integers(97, 123, size=(n, 80), dtype=np.uint8)
+    cols = {
+        "recid": np.arange(n, dtype=np.uint32),
+        "num": g.integers(0, 50, n, dtype=np.uint32).astype(np.uint32),
+        "strs": strs,  # 80-char strings -> 32-word bucket
+        "valid": np.ones(n, bool),
+    }
+    b = M.to_batch(cols)
+    assert b.str_words > 16
+    with _pytest.raises(MemoryBudgetError):
+        hash_join_count_impl(b, b, 2, EngineConfig(mem_rows=256))
+
+
+def test_over_budget_materializing_hash_join_refuses(rng):
+    """hash_join (the materializing form) keeps the budget gate — only
+    the count/mask kernel tiles; oversized materializing joins belong to
+    external_hash_join."""
+    import pytest as _pytest
+
+    from database_technology_algorithms_tpu.ops.hash_join import hash_join_impl
+    from database_technology_algorithms_tpu.utils.checks import (
+        MemoryBudgetError,
+    )
+
+    b = M.to_batch(M.random_cols(rng, 600, key_range=60))
+    with _pytest.raises(MemoryBudgetError):
+        hash_join_impl(b, b, 1, EngineConfig(mem_rows=256))
