@@ -23,8 +23,9 @@ loop a vector machine cannot run; distribution sort replaces it with two
 bandwidth-bound passes regardless of segment count (vs log_K passes).
 
 Spill segments are the checkpoint/resume unit, like the reference's segment
-files (SURVEY.md §5 checkpoint row): a JSON manifest records completed
-stages; re-running skips finished segments/ranges.
+files (SURVEY.md §5 checkpoint row): a JSON manifest records each spilled
+segment (+ an input fingerprint); re-running skips matching segments and
+recomputes pass 2 (which is streaming, not materialized).
 
 Stats mirror the reference counters: ``nsorted_segs`` = segments spilled,
 ``npasses`` = 2 (or 1 if the input fit in memory), bytes spilled/read
@@ -64,14 +65,6 @@ def _np_key_words(cols: dict, field) -> np.ndarray:
     )
     words = key_words(batch, field, nwords=None)
     return np.stack([np.asarray(w) for w in words], axis=1)
-
-
-def _lex_leq(a: np.ndarray, b: np.ndarray) -> bool:
-    """a <= b lexicographically for 1-D word vectors."""
-    for x, y in zip(a, b):
-        if x != y:
-            return x < y
-    return True
 
 
 def _searchsorted_rows(sorted_words: np.ndarray, split: np.ndarray, side: str) -> int:
@@ -117,9 +110,7 @@ class SegmentStore:
         self.dir = pathlib.Path(spill_dir)
         self.dir.mkdir(parents=True, exist_ok=True)
         self.manifest_path = self.dir / "manifest.json"
-        self.manifest = {
-            "segments": [], "segmeta": {}, "stage": "runs", "ranges_done": []
-        }
+        self.manifest = {"segments": [], "segmeta": {}}
         if self.manifest_path.exists():
             self.manifest = json.loads(self.manifest_path.read_text())
             self.manifest.setdefault("segmeta", {})
@@ -278,9 +269,12 @@ def external_sort(
                     oc = {k: v[1:] for k, v in oc.items()}
         if len(oc["recid"]) == 0:
             return None
-        prev_keyvec = _np_key_words(
-            {k: v[-1:] for k, v in oc.items()}, field
-        )[0]
+        if distinct:
+            # the seam-dedup key is only consumed by the next distinct
+            # chunk; skip the per-chunk device round trip otherwise
+            prev_keyvec = _np_key_words(
+                {k: v[-1:] for k, v in oc.items()}, field
+            )[0]
         stats.rows_out += len(oc["recid"])
         return oc
 
@@ -453,9 +447,37 @@ def _stream_semi_join(
 
     fld = canonical_field(field)
     expand = field3_mult and fld == 3
-    ea = next(emit_chunks, None)
-    mb = next(member_chunks, None)
-    macc = None if ea is None else np.zeros(len(ea["recid"]), np.int64)
+
+    def next_nonempty(it):
+        # a 0-row chunk (e.g. an all-empty-blocks file) has no key bounds
+        for c in it:
+            if len(c["recid"]):
+                return c
+        return None
+
+    ea = next_nonempty(emit_chunks)
+    mb = next_nonempty(member_chunks)
+
+    # boundary carry: external_sort output chunks never split a key EXCEPT
+    # when one key has more duplicates than the budget (the all-equal-key
+    # sub-slice path).  A member key spanning retired chunks must still
+    # hand its full multiplicity to emit chunks that arrive LATER, so the
+    # member stream's current boundary key carries its accumulated count
+    # across retirements; a new emit chunk starts with that carry applied
+    # (only the boundary key can reappear — every smaller retired key is
+    # strictly below the new chunk's min).  r4 review finding, reproduced.
+    carry_key: tuple | None = None
+    carry_mult = 0
+
+    def fresh_macc(cols):
+        m = np.zeros(len(cols["recid"]), np.int64)
+        if carry_key is not None and carry_mult:
+            kw = _np_key_words(cols, field)
+            eq = np.all(kw == np.asarray(carry_key, dtype=kw.dtype), axis=1)
+            m[eq] += carry_mult
+        return m
+
+    macc = None if ea is None else fresh_macc(ea)
 
     def flush(cols, m):
         matched = m > 0
@@ -472,6 +494,16 @@ def _stream_semi_join(
         stats.rows_out += len(out["recid"])
         return out
 
+    def retire_member(cols):
+        nonlocal carry_key, carry_mult
+        kw = _np_key_words(cols, field)
+        kb = tuple(kw[-1])
+        cnt = int(np.all(kw == np.asarray(kb, dtype=kw.dtype), axis=1).sum())
+        if carry_key == kb:
+            carry_mult += cnt
+        else:
+            carry_key, carry_mult = kb, cnt
+
     while ea is not None:
         n_e = len(ea["recid"])
         if mb is None:
@@ -479,8 +511,8 @@ def _stream_semi_join(
             out = flush(ea, macc)
             if out is not None:
                 yield out
-            ea = next(emit_chunks, None)
-            macc = None if ea is None else np.zeros(len(ea["recid"]), np.int64)
+            ea = next_nonempty(emit_chunks)
+            macc = None if ea is None else fresh_macc(ea)
             continue
         e_min, e_max = _chunk_key_bounds(ea, field)
         m_min, m_max = _chunk_key_bounds(mb, field)
@@ -499,14 +531,20 @@ def _stream_semi_join(
                 build_count=mn, probe_count=en,
             )
             macc += np.asarray(mult)[:n_e]
-        if e_max <= m_max:
+        # advance rule: flush the emit chunk only once the member stream
+        # has moved STRICTLY past it — at e_max == m_max the boundary
+        # key's duplicates may continue in the next member chunk (r4
+        # review: flushing at equality undercounted field-3 multiplicity
+        # whenever one build key spans member chunks)
+        if e_max < m_max:
             out = flush(ea, macc)
             if out is not None:
                 yield out
-            ea = next(emit_chunks, None)
-            macc = None if ea is None else np.zeros(len(ea["recid"]), np.int64)
+            ea = next_nonempty(emit_chunks)
+            macc = None if ea is None else fresh_macc(ea)
         else:
-            mb = next(member_chunks, None)
+            retire_member(mb)
+            mb = next_nonempty(member_chunks)
     # drain the member stream: its generator's trailing code (stats
     # accumulation, npasses, spill cleanup) must run even when the emit
     # stream exhausted first (r4 review finding)
@@ -629,7 +667,7 @@ def _distinct_chunk(cols: dict, field, cfg: EngineConfig) -> dict:
 
 def blockfile_chunks(path: str, mem_rows: int) -> Iterator[dict]:
     """Stream a reference block file as host column chunks of <= mem_rows."""
-    from .io.blockfile import BLOCK_SIZE, MAX_RECORDS_PER_BLOCK, read_blockfile_numpy
+    from .io.blockfile import BLOCK_SIZE, MAX_RECORDS_PER_BLOCK
 
     # read in block-aligned spans without loading the whole file
     from .io import blockfile as bf
@@ -650,9 +688,15 @@ def blockfile_chunks(path: str, mem_rows: int) -> Iterator[dict]:
         total = int(nres.sum())
         strs = np.zeros((total, STR_PAD), dtype=np.uint8)
         strs[:, :STR_LENGTH] = entries["str"][mask]
-        yield {
+        chunk = {
             "recid": entries["recid"][mask].astype(np.uint32),
             "num": entries["num"][mask].astype(np.uint32),
             "strs": normalize_str_bytes(strs),
             "valid": entries["valid"][mask].astype(bool),
         }
+        # a budget below one block's row count must still be honored:
+        # slice the decoded span to <= mem_rows rows per yielded chunk
+        # (r4 review: `--mem-blocks 1` halves to a 50-row budget, which
+        # tripped external_sort's chunk assert on 100-row blocks)
+        for s in range(0, total, mem_rows):
+            yield {k: v[s : s + mem_rows] for k, v in chunk.items()}

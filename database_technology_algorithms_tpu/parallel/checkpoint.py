@@ -84,7 +84,7 @@ class StageCheckpoints:
             return json.loads(self.manifest_path.read_text())
         return {"done": [], "fingerprint": self.fingerprint}
 
-    def stage_done(self, stage: str) -> bool:
+    def _stage_done_local(self, stage: str) -> bool:
         m = self._manifest()
         if m.get("fingerprint") != self.fingerprint:
             return False  # stale checkpoints from a different run/config
@@ -99,6 +99,25 @@ class StageCheckpoints:
         # per-process input-content check: same shapes, different data
         # must recompute
         return meta.get("local_tag", "") == self.local_tag
+
+    def stage_done(self, stage: str) -> bool:
+        """Globally-agreed skip decision.
+
+        The verdict gates skipping a COLLECTIVE stage program: if one
+        process resumed while another recomputed, the recomputing side's
+        all_to_all/psum would wait forever (r4 review).  Every process
+        therefore all-gathers its local verdict and the stage counts as
+        done only when ALL processes have it (any straggler forces a
+        uniform recompute — correct, just slower)."""
+        ok = self._stage_done_local(stage)
+        if self.nproc > 1:
+            from jax.experimental import multihost_utils
+
+            oks = multihost_utils.process_allgather(
+                np.asarray([1 if ok else 0], np.int32)
+            )
+            ok = bool(np.asarray(oks).min() == 1)
+        return ok
 
     def _mark_done(self, stage: str) -> None:
         m = self._manifest()

@@ -57,12 +57,6 @@ def _axis(mesh: Mesh):
     return names if len(names) > 1 else names[0]
 
 
-def _specs(mesh: Mesh):
-    ax = mesh.axis_names
-    row = P(ax)
-    return row
-
-
 def distribute(mesh: Mesh, cols: dict, rows_per_chip: int | None = None) -> DistTable:
     """Spread host columns round-robin-free (contiguous blocks) over chips."""
     ndev = mesh_size(mesh)
@@ -155,6 +149,11 @@ def _run_with_overflow_retry(build_and_run, cap: int, cap_limit: int,
     The reference has no analogue: its hash table simply grows without
     bound (DatabaseProject.cpp:510-548, SURVEY.md §2 C7).
     """
+    # NOTE: scale-based callers (dist_hash_join, the overlapped join) pass
+    # cap as a multiplier with cap_limit in rows, so the early break below
+    # rarely fires for them — harmless (extra doubling attempts, exact
+    # results), and a persisting overflow is always surfaced via the
+    # returned ovf, which every caller checks/propagates.
     out, ovf = None, None
     for attempt in range(max_retries + 1):
         out, ovf = build_and_run(min(cap, cap_limit))

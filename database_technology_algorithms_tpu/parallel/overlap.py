@@ -55,10 +55,6 @@ from .shuffle import _dest_ranks
 U32_MAX = np.uint32(0xFFFFFFFF)
 
 
-def _u32_key(batch: RecordBatch, field) -> jax.Array:
-    return batch.recid if canonical_field(field) == 0 else batch.num
-
-
 def overlap_key_words(batch: RecordBatch, field) -> list | None:
     """The full key as a SHORT u32 word list, or None if not expressible.
 

@@ -27,10 +27,6 @@ from ..ops.movement import place_words, use_sort_placement
 Axis = str | tuple[str, ...]
 
 
-def _axis_size(axis: Axis) -> jax.Array:
-    return jax.lax.axis_size(axis)
-
-
 # Above this device count the sort-based rank engine takes over: the one-hot
 # cumsum materializes an [n, ndev+1] i32 intermediate (O(n*ndev) HBM traffic
 # — ~1 GB per shuffle at 1M rows x 256 chips), while the sort form stays

@@ -44,8 +44,13 @@ from .shuffle import shuffle
 def local_topk_hashes(
     hashes: jax.Array, active: jax.Array, k: int
 ) -> tuple[jax.Array, jax.Array]:
-    """Top-k (hash, count) among active rows, via sort + segment counts."""
+    """Top-k (hash, count) among active rows, via sort + segment counts.
+
+    k clamps to the per-chip row count (lax.top_k errors on k > n — tiny
+    tables over many chips, r4 review); callers pad with sentinels so a
+    shorter candidate list stays well-formed."""
     n = hashes.shape[0]
+    k = min(k, n)
     h = jnp.where(active, hashes, jnp.uint32(0xFFFFFFFF))
     hs = jax.lax.sort(h)
     new_run = jnp.concatenate(

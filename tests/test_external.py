@@ -364,3 +364,78 @@ def test_external_sort_stale_spill_dir_recomputes(rng, tmp_path):
     out = list(external_sort(_chunks_of(cols2, 256), 2, spill, mem_rows=256))
     merged = {k: np.concatenate([c[k] for c in out]) for k in out[0]}
     assert M.all_keys(merged, 2) == sorted(M.all_keys(cols2, 2))
+
+
+def test_external_hash_join_field3_key_spans_member_chunks(tmp_path):
+    """One build key with more duplicates than the budget spans member
+    chunks: its multiplicity must still accumulate in full (r4 review,
+    reproduced: flushing the emit chunk at boundary-key equality
+    undercounted 10x-duplicated keys to cap x)."""
+    nb = 11
+    build = {
+        "recid": np.arange(nb, dtype=np.uint32),
+        "num": np.array([5] * 10 + [7], np.uint32),
+        "strs": np.zeros((nb, 8), np.uint8),
+        "valid": np.ones(nb, bool),
+    }
+    probe = {
+        "recid": np.arange(6, dtype=np.uint32) + 100,
+        "num": np.array([5, 5, 5, 7, 7, 9], np.uint32),
+        "strs": np.zeros((6, 8), np.uint8),
+        "valid": np.ones(6, bool),
+    }
+    mem = 8  # cap=4: key 5's 10 duplicates span >2 member chunks
+    stats = OperatorStats()
+    out = list(
+        external_hash_join(
+            _chunks_of(build, mem // 2), _chunks_of(probe, mem // 2), 3,
+            str(tmp_path / "span"), mem_rows=mem, stats=stats,
+        )
+    )
+    m_matched, m_mult, m_nres = M.model_hash_join(build, probe, 3)
+    assert m_nres == 32  # 3 probe rows x 10 + 2 x 1
+    assert stats.nres == m_nres
+    rows = np.concatenate([c["recid"] for c in out])
+    exp = sorted(
+        int(probe["recid"][i])
+        for i in range(6)
+        for _ in range(m_mult[i])
+    )
+    assert sorted(rows.tolist()) == exp
+
+
+def test_external_join_empty_chunk_guard(rng, tmp_path):
+    """A 0-row chunk in either stream must be skipped, not crash the
+    key-bounds probe (r4 review, reproduced IndexError)."""
+    r = M.random_cols(rng, 300, key_range=40)
+    s = M.random_cols(rng, 300, key_range=40)
+
+    def with_empty(cols, size):
+        yield {k: v[:0] for k, v in cols.items()}
+        yield from _chunks_of(cols, size)
+
+    stats = OperatorStats()
+    out = list(
+        external_merge_join(
+            with_empty(r, 150), with_empty(s, 150), 1,
+            str(tmp_path / "empty"), mem_rows=300, stats=stats,
+        )
+    )
+    _, m_nres = M.model_merge_join(r, s, 1)
+    assert stats.nres == m_nres
+
+
+def test_blockfile_chunks_sub_block_budget(rng, tmp_path):
+    """A budget below one block's 100 rows yields sub-block chunks that
+    honor it (r4 review: --mem-blocks 1 tripped the chunk assert)."""
+    cols = generate_columns(5, seed=3)  # 500 rows
+    path = str(tmp_path / "small.bin")
+    write_blockfile(path, cols)
+    chunks = list(blockfile_chunks(path, 30))
+    assert all(len(c["recid"]) <= 30 for c in chunks)
+    assert sum(len(c["recid"]) for c in chunks) == 500
+    out = list(
+        external_sort(iter(chunks), 1, str(tmp_path / "sb"), mem_rows=30)
+    )
+    merged = np.concatenate([c["num"] for c in out])
+    np.testing.assert_array_equal(np.sort(cols["num"]), merged)
