@@ -667,33 +667,22 @@ def _distinct_chunk(cols: dict, field, cfg: EngineConfig) -> dict:
 
 def blockfile_chunks(path: str, mem_rows: int) -> Iterator[dict]:
     """Stream a reference block file as host column chunks of <= mem_rows."""
-    from .io.blockfile import BLOCK_SIZE, MAX_RECORDS_PER_BLOCK
+    from .io.blockfile import (
+        BLOCK_SIZE,
+        MAX_RECORDS_PER_BLOCK,
+        decode_blocks_span,
+    )
 
     # read in block-aligned spans without loading the whole file
-    from .io import blockfile as bf
-
     raw = np.memmap(path, dtype=np.uint8, mode="r")
     nblocks = len(raw) // BLOCK_SIZE
     blocks_per_chunk = max(mem_rows // MAX_RECORDS_PER_BLOCK, 1)
     for b0 in range(0, nblocks, blocks_per_chunk):
         b1 = min(b0 + blocks_per_chunk, nblocks)
-        span = np.array(raw[b0 * BLOCK_SIZE : b1 * BLOCK_SIZE])
-        blocks = span.view(bf.BLOCK_DTYPE)
-        nres = np.minimum(blocks["nreserved"], MAX_RECORDS_PER_BLOCK).astype(np.int64)
-        entries = blocks["entries"]
-        row_idx = np.arange(MAX_RECORDS_PER_BLOCK)[None, :]
-        mask = row_idx < nres[:, None]
-        from .batch import STR_LENGTH, STR_PAD, normalize_str_bytes
-
-        total = int(nres.sum())
-        strs = np.zeros((total, STR_PAD), dtype=np.uint8)
-        strs[:, :STR_LENGTH] = entries["str"][mask]
-        chunk = {
-            "recid": entries["recid"][mask].astype(np.uint32),
-            "num": entries["num"][mask].astype(np.uint32),
-            "strs": normalize_str_bytes(strs),
-            "valid": entries["valid"][mask].astype(bool),
-        }
+        chunk = decode_blocks_span(
+            np.array(raw[b0 * BLOCK_SIZE : b1 * BLOCK_SIZE])
+        )
+        total = len(chunk["recid"])
         # a budget below one block's row count must still be honored:
         # slice the decoded span to <= mem_rows rows per yielded chunk
         # (r4 review: `--mem-blocks 1` halves to a 50-row budget, which

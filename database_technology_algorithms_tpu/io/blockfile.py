@@ -51,18 +51,18 @@ assert RECORD_DTYPE.itemsize == RECORD_SIZE
 assert BLOCK_DTYPE.itemsize == BLOCK_SIZE
 
 
-def read_blockfile_numpy(path: str) -> dict:
-    """Parse a block file into host SoA numpy columns.
+def decode_blocks_span(raw: np.ndarray) -> dict:
+    """Decode a contiguous byte span of whole blocks into SoA columns.
 
-    Honors each block's ``nreserved`` header (partial final blocks appear in
-    reference outputs, with the caveat that some reference writers lie in the
-    final block header — see SURVEY.md §2 C6/C7; callers that read reference
-    *outputs* should use ``read_blockfile_numpy(path, )`` together with a
-    trusted row count when diffing those).
+    Honors each block's ``nreserved`` header (partial blocks appear in
+    reference outputs; some reference writers lie in the FINAL block's
+    header — SURVEY.md §2 C6/C7 — so oracle-output diffs pair this with a
+    trusted row count).  The single decode path shared by the whole-file
+    reader and the streaming chunker (r4 review: a format fix must land
+    once).
     """
-    raw = np.fromfile(path, dtype=np.uint8)
     nblocks = len(raw) // BLOCK_SIZE
-    blocks = raw[: nblocks * BLOCK_SIZE].view(BLOCK_DTYPE)
+    blocks = np.ascontiguousarray(raw[: nblocks * BLOCK_SIZE]).view(BLOCK_DTYPE)
     nres = np.minimum(blocks["nreserved"], MAX_RECORDS_PER_BLOCK).astype(np.int64)
     total = int(nres.sum())
 
@@ -80,6 +80,12 @@ def read_blockfile_numpy(path: str) -> dict:
     strs[:, :STR_LENGTH] = strs120
     strs = normalize_str_bytes(strs)
     return {"recid": recid, "num": num, "strs": strs, "valid": valid}
+
+
+def read_blockfile_numpy(path: str) -> dict:
+    """Parse a block file into host SoA numpy columns (see
+    :func:`decode_blocks_span` for the header-honoring semantics)."""
+    return decode_blocks_span(np.fromfile(path, dtype=np.uint8))
 
 
 def read_blockfile(path: str, prefer_native: bool = True) -> RecordBatch:

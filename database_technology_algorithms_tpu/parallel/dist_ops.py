@@ -58,35 +58,24 @@ def _axis(mesh: Mesh):
 
 
 def distribute(mesh: Mesh, cols: dict, rows_per_chip: int | None = None) -> DistTable:
-    """Spread host columns round-robin-free (contiguous blocks) over chips."""
+    """Spread host columns round-robin-free (contiguous blocks) over chips.
+
+    Single-process form; the block-partition pad itself is shared with the
+    multi-process path (``multihost.pad_columns`` — r4 review: one pad
+    loop, not two)."""
+    from .multihost import pad_columns
+
     ndev = mesh_size(mesh)
     n = len(cols["recid"])
     per = rows_per_chip or -(-n // ndev)
-    counts = np.minimum(np.maximum(n - per * np.arange(ndev), 0), per).astype(np.int32)
-
-    def pad(a):
-        out = np.zeros((ndev * per,) + a.shape[1:], dtype=a.dtype)
-        # chip d's live rows go to [d*per, d*per+counts[d])
-        off = 0
-        for d in range(ndev):
-            c = counts[d]
-            out[d * per : d * per + c] = a[off : off + c]
-            off += c
-        return out
-
-    from ..batch import narrow_str_bytes, pack_str_bytes
-
-    # narrow-width storage: the host sees the whole table here, so the
-    # smallest covering width bucket is globally uniform across chips
-    strs = narrow_str_bytes(np.asarray(cols["strs"], np.uint8))
+    padded, counts = pad_columns(cols, ndev, per)
 
     row = NamedSharding(mesh, P(mesh.axis_names))
     batch = RecordBatch(
-        recid=jax.device_put(pad(np.asarray(cols["recid"], np.uint32)), row),
-        num=jax.device_put(pad(np.asarray(cols["num"], np.uint32)), row),
-        strw=jax.device_put(pad(pack_str_bytes(strs)), row),
-        valid=jax.device_put(pad(np.asarray(cols.get("valid")
-            if cols.get("valid") is not None else np.ones(n, bool))), row),
+        recid=jax.device_put(padded["recid"], row),
+        num=jax.device_put(padded["num"], row),
+        strw=jax.device_put(padded["strw"], row),
+        valid=jax.device_put(padded["valid"], row),
     )
     count = jax.device_put(counts, row)
     return DistTable(batch=batch, count=count)
