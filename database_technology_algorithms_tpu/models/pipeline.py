@@ -240,10 +240,12 @@ def make_pipeline_staged(field: int = 1, cfg: EngineConfig = DEFAULT_CONFIG):
     1464 s; round-2: 1 h then EOF).  Each host dispatch through the tunnel
     also costs ~12 ms, so the split is exactly TWO programs per run:
 
-      A: fused view sort + scans + destination computation (2 sorts @2(N))
-      B: the 35-word materializer — five identical-signature 8-operand
-         placement sorts in ONE executable (identical unrolled sorts
-         compile cheaply: ~25 s measured vs ~80 s for one alone)
+      A: fused view sort + scans + the matched mask (and, for u32 keys,
+         a 1-operand packed back-sort to original R order)
+      B: the materializer — at narrow width ONE placement-sort group
+         (3+K payload words; valid folded into the key), or for u32 key
+         fields a direct sort of R by the packed (unmatched, key) with
+         no dest permutation at all (movement.place_join_by_key, r4)
     """
     from ..batch import canonical_field
     from ..ops.movement import (
@@ -260,16 +262,22 @@ def make_pipeline_staged(field: int = 1, cfg: EngineConfig = DEFAULT_CONFIG):
     # into the perm word (1-operand back sort instead of 2) and stage B
     # sorts R directly by the packed (unmatched, key) — r4, saves ~1 ms
     # of the 2M-row back-sort per run (movement.place_join_by_key)
-    def _direct_place(r):
+    def _direct_place(r, s):
         return (
             fld in (0, 1)
             and cfg.packed_u32_sorts
             and cfg.materialize != "sort2d"
             and 4 + r.str_words <= 8
+            # the packed back-sort/valid-fold kernels pack iota below the
+            # flag bits: n < 2^30 (far above any budgeted input)
+            and r.nrows + s.nrows < (1 << 30)
         )
 
     def stage_a(r: RecordBatch, s: RecordBatch) -> dict:
+        from ..utils.checks import ensure_device_budget
+
         nr = r.nrows
+        ensure_device_budget(nr + s.nrows, cfg, "pipeline_staged")
         both = RecordBatch.concat([r, s])
         view, adj, is_r, is_s, prev_side, _v_num = _pipeline_view(
             both, nr, field, cfg
@@ -289,10 +297,15 @@ def make_pipeline_staged(field: int = 1, cfg: EngineConfig = DEFAULT_CONFIG):
             "merge_nres": jnp.sum(matched, dtype=jnp.int32),
             "hash_nres": jnp.sum((s_first & run_has_r).astype(jnp.int32)),
             "cnt": jnp.sum(matched, dtype=jnp.int32),
-            "perm": view.perm,
-            "matched": matched,
         }
-        if _direct_place(r) and use_sort_placement(cfg):
+        # each materialization path gets exactly the words it reads: the
+        # gather path needs (perm, matched); the direct-place path a
+        # 1-operand packed back-sort; the dest path survivor_dest (a full
+        # 2-operand un-permute that must not run for the others)
+        if not use_sort_placement(cfg):
+            out["perm"] = view.perm
+            out["matched"] = matched
+        elif _direct_place(r, s):
             packed = (view.perm.astype(jnp.uint32) << 1) | matched.astype(
                 jnp.uint32
             )
@@ -431,8 +444,8 @@ def _dist_stage_join(
     elif engine == "overlap" and (
         overlap_key_words(rd, field) is not None
         and overlap_key_words(sd, field) is not None
-        and len(overlap_key_words(rd, field))
-        == len(overlap_key_words(sd, field))
+        # both non-None implies equal word counts (non-None for string
+        # fields requires str_words == 2 on that side)
     ):
         from ..parallel.overlap import overlapped_join_local
 
