@@ -29,52 +29,30 @@ from .sort import materialize_survivors, sort_keys
 U32_MAX = np.uint32(0xFFFFFFFF)
 
 
-def group_aggregate_impl(
-    batch: RecordBatch,
-    field,
-    cfg: EngineConfig = DEFAULT_CONFIG,
-    count: jax.Array | None = None,
-    active: jax.Array | None = None,
-    materialize_reps: bool = True,
-) -> tuple[RecordBatch, dict, jax.Array]:
-    """Group by `field`; aggregate `num` per group.
+def _run_aggregates(
+    batch, view, active_s, count_vals, sum_vals, min_vals, max_vals,
+    cfg, materialize_reps,
+):
+    """Shared run-boundary accounting for both aggregate phases.
 
-    Returns (group_rep_batch, aggs, n_groups): group representative rows (the
-    first record of each group, sorted key order) compacted to the front;
-    aggs = {"count","sum","min","max"} arrays aligned with those rows.
-    `count` marks live rows (static-capacity convention).
+    Given the sorted view, the sorted activity mask and per-row
+    (count, sum, min, max) contributions, derive run starts/ends, scan,
+    read per-group values off at run ends, and optionally materialize the
+    group representative rows (r4 review: this tail existed twice).
     """
-    n = batch.nrows
-    if active is None and count is not None:
-        active = jnp.arange(n, dtype=jnp.int32) < count
-    pre = ()
-    extra0 = ()
-    if active is not None:
-        act0 = active
-        pre = ((~act0).astype(jnp.uint32),)
-        extra0 = (act0.astype(jnp.uint32),)
-    # carry num (the aggregated measure) through the key sort as payload:
-    # no record materialization needed for the aggregates themselves
-    view = sort_keys(
-        batch, field, cfg, pre_words=pre, extra=extra0 + (batch.num,),
-        pre_is_mask=True,
-    )
-    active = (
-        jnp.ones(n, dtype=bool) if not extra0 else view.extras[0] == 1
-    )
-    adj = view.adj_eq
-    new_run = active & ~adj
-    nxt_active = jnp.concatenate([active[1:], jnp.zeros(1, dtype=bool)])
-    nxt_same = jnp.concatenate([adj[1:], jnp.zeros(1, dtype=bool)])
-    is_end = active & (~nxt_active | ~nxt_same)
-
-    num = view.extras[-1]
     from .scan import cumsum as _bcumsum
 
-    c_incl = _bcumsum(active.astype(jnp.int32))
-    s_incl = _bcumsum(jnp.where(active, num, 0).astype(jnp.uint32))
-    run_min = seg_min(new_run, jnp.where(active, num, U32_MAX))
-    run_max = seg_max(new_run, jnp.where(active, num, jnp.uint32(0)))
+    n = batch.nrows
+    adj = view.adj_eq
+    new_run = active_s & ~adj
+    nxt_active = jnp.concatenate([active_s[1:], jnp.zeros(1, dtype=bool)])
+    nxt_same = jnp.concatenate([adj[1:], jnp.zeros(1, dtype=bool)])
+    is_end = active_s & (~nxt_active | ~nxt_same)
+
+    c_incl = _bcumsum(jnp.where(active_s, count_vals, 0).astype(jnp.int32))
+    s_incl = _bcumsum(jnp.where(active_s, sum_vals, 0).astype(jnp.uint32))
+    run_min = seg_min(new_run, jnp.where(active_s, min_vals, U32_MAX))
+    run_max = seg_max(new_run, jnp.where(active_s, max_vals, jnp.uint32(0)))
 
     if materialize_reps:
         reps, n_groups = materialize_survivors(batch, view.perm, new_run, cfg)
@@ -95,6 +73,50 @@ def group_aggregate_impl(
         "max": jnp.where(live_g, emax, 0),
     }
     return reps, aggs, n_groups
+
+
+def group_aggregate_impl(
+    batch: RecordBatch,
+    field,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    count: jax.Array | None = None,
+    active: jax.Array | None = None,
+    materialize_reps: bool = True,
+) -> tuple[RecordBatch, dict, jax.Array]:
+    """Group by `field`; aggregate `num` per group.
+
+    Returns (group_rep_batch, aggs, n_groups): group representative rows (the
+    first record of each group, sorted key order) compacted to the front;
+    aggs = {"count","sum","min","max"} arrays aligned with those rows.
+    `count` marks live rows (static-capacity convention).
+    """
+    n = batch.nrows
+    if count is not None:
+        live = jnp.arange(n, dtype=jnp.int32) < count
+        # active and count COMPOSE: a predicate mask must still exclude
+        # capacity-padding rows past the live count (r4 review: passing
+        # both silently dropped count)
+        active = live if active is None else active & live
+    pre = ()
+    extra0 = ()
+    if active is not None:
+        act0 = active
+        pre = ((~act0).astype(jnp.uint32),)
+        extra0 = (act0.astype(jnp.uint32),)
+    # carry num (the aggregated measure) through the key sort as payload:
+    # no record materialization needed for the aggregates themselves
+    view = sort_keys(
+        batch, field, cfg, pre_words=pre, extra=extra0 + (batch.num,),
+        pre_is_mask=True,
+    )
+    active_s = (
+        jnp.ones(n, dtype=bool) if not extra0 else view.extras[0] == 1
+    )
+    num = view.extras[-1]
+    ones = jnp.ones(n, dtype=jnp.int32)
+    return _run_aggregates(
+        batch, view, active_s, ones, num, num, num, cfg, materialize_reps
+    )
 
 
 group_aggregate = per_static_jit(
@@ -141,35 +163,7 @@ def combine_group_aggregate_impl(
     )
     s_act, s_pc, s_ps, s_pmin, s_pmax = view.extras
     active_s = s_act == 1
-    adj = view.adj_eq
-    new_run = active_s & ~adj
-    nxt_active = jnp.concatenate([active_s[1:], jnp.zeros(1, dtype=bool)])
-    nxt_same = jnp.concatenate([adj[1:], jnp.zeros(1, dtype=bool)])
-    is_end = active_s & (~nxt_active | ~nxt_same)
-
-    from .scan import cumsum as _bcumsum
-
-    c_incl = _bcumsum(jnp.where(active_s, s_pc, 0).astype(jnp.int32))
-    s_incl = _bcumsum(jnp.where(active_s, s_ps, 0).astype(jnp.uint32))
-    run_min = seg_min(new_run, jnp.where(active_s, s_pmin, U32_MAX))
-    run_max = seg_max(new_run, jnp.where(active_s, s_pmax, jnp.uint32(0)))
-
-    if materialize_reps:
-        reps, n_groups = materialize_survivors(batch, view.perm, new_run, cfg)
-    else:
-        reps = batch.slice(0, 1)
-        n_groups = jnp.sum(new_run, dtype=jnp.int32)
-    _, (ec, es, emin, emax) = compact_words(
-        is_end, (c_incl, s_incl, run_min, run_max)
+    return _run_aggregates(
+        batch, view, active_s, s_pc, s_ps, s_pmin, s_pmax,
+        cfg, materialize_reps,
     )
-    gidx = jnp.arange(n, dtype=jnp.int32)
-    live_g = gidx < n_groups
-    prev_c = jnp.concatenate([jnp.zeros(1, jnp.int32), ec[:-1]])
-    prev_s = jnp.concatenate([jnp.zeros(1, jnp.uint32), es[:-1]])
-    aggs = {
-        "count": jnp.where(live_g, ec - prev_c, 0),
-        "sum": jnp.where(live_g, es - prev_s, 0),
-        "min": jnp.where(live_g, emin, U32_MAX),
-        "max": jnp.where(live_g, emax, 0),
-    }
-    return reps, aggs, n_groups

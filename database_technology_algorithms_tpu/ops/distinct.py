@@ -46,8 +46,12 @@ def distinct_view(
     level and materialize once at the end (models/pipeline.py).
     """
     n = batch.nrows
-    if active is None and count is not None:
-        active = jnp.arange(n, dtype=jnp.int32) < count
+    if count is not None:
+        live = jnp.arange(n, dtype=jnp.int32) < count
+        # active and count COMPOSE: a predicate mask must still exclude
+        # capacity-padding rows past the live count (r4 review: passing
+        # both silently dropped count)
+        active = live if active is None else active & live
     pre = ()
     extra = ()
     if active is not None:

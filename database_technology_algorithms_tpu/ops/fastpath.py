@@ -8,9 +8,6 @@ the same semantics need only key-width traffic:
 * distinct: sort (inactive, key, row) words only; survivors found on the
   sorted key stream; ONE fused full-record gather materializes the output
   (take with zero-fill for padding) — vs sort-gather + compact-scatter.
-* sorted-intersection join: both inputs are key-sorted with unique live
-  prefixes (the distinct outputs), so membership is a searchsorted probe —
-  no 2(R+S)-row concat sort at all.
 * hash join: build collapses to (sorted unique keys, counts) on the key
   column; probes are a searchsorted + one count gather per row.  This is
   the vectorized analogue of the reference's hash-table probe loop
@@ -68,39 +65,14 @@ def distinct_u32(
     active_sorted = s_inact == 0
     first = jnp.concatenate([jnp.ones(1, bool), s_key[1:] != s_key[:-1]])
     keep = active_sorted & first
-    nunique = jnp.sum(keep, dtype=jnp.int32)
-    dest = jnp.cumsum(keep.astype(jnp.int32)) - 1
-    gather_idx = jnp.full(n, n, dtype=jnp.int32).at[
-        jnp.where(keep, dest, n)
-    ].set(s_idx, mode="drop")
+    # survivor indices to the front via a word sort — the engine's design
+    # rules ban scatters and flat cumsums on hot paths (movement.py,
+    # scan.py; the original .at[].set form predated them — r4 review)
+    from .movement import compact_words
+
+    nunique, (orig,) = compact_words(keep, (s_idx,))
+    gather_idx = jnp.where(idx < nunique, orig, jnp.int32(n))
     return batch.take_fill(gather_idx), nunique
-
-
-def intersect_sorted_unique_u32(
-    r: RecordBatch,
-    r_count: jax.Array,
-    s: RecordBatch,
-    s_count: jax.Array,
-    field,
-) -> tuple[RecordBatch, jax.Array]:
-    """R rows whose key appears in S; both inputs key-sorted-unique prefixes.
-
-    Replaces the concat-sort intersection with one searchsorted probe.
-    Output: matched R rows compacted to the front via one fused gather.
-    """
-    nr = r.nrows
-    r_key = u32_key(r, field)
-    s_key = masked_sorted_key(u32_key(s, field), s_count)
-    idx = jnp.arange(nr, dtype=jnp.int32)
-    pos = jnp.searchsorted(s_key, r_key)
-    hit = (pos < s_count) & (jnp.take(s_key, pos, mode="clip") == r_key)
-    matched = hit & (idx < r_count)
-    nres = jnp.sum(matched, dtype=jnp.int32)
-    dest = jnp.cumsum(matched.astype(jnp.int32)) - 1
-    gather_idx = jnp.full(nr, nr, dtype=jnp.int32).at[
-        jnp.where(matched, dest, nr)
-    ].set(idx, mode="drop")
-    return r.take_fill(gather_idx), nres
 
 
 def hash_join_count_u32(

@@ -26,16 +26,24 @@ from .movement import compact_rows
 
 
 def compact(
-    batch: RecordBatch, mask: jax.Array, cfg: EngineConfig = DEFAULT_CONFIG
+    batch: RecordBatch,
+    mask: jax.Array,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    count: jax.Array | None = None,
 ) -> tuple[RecordBatch, jax.Array]:
     """Move rows where mask is True to the front, preserving order.
 
     Returns (batch_same_capacity, count); rows past `count` are zeroed.
+    With ``count``, only the first ``count`` input rows are live — zeroed
+    capacity-padding rows can otherwise satisfy a predicate (num=0,
+    str='') and be emitted as garbage survivors (r4 review).
     TPU: grouped payload-placement sorts; gather backends: one word sort +
     one fused record gather (see ops/movement.py for the measured rationale).
     """
-    out, count, _ = compact_rows(batch, mask, cfg=cfg)
-    return out, count
+    if count is not None:
+        mask = mask & (jnp.arange(batch.nrows, dtype=jnp.int32) < count)
+    out, cnt, _ = compact_rows(batch, mask, cfg=cfg)
+    return out, cnt
 
 
 def truncate(batch: RecordBatch, count) -> RecordBatch:
@@ -85,12 +93,15 @@ def pred_recid_range(lo: int | None = None, hi: int | None = None) -> Predicate:
 
 def pred_str_eq(s: bytes) -> Predicate:
     """String equality (strcmp == 0 semantics on NUL-normalized bytes)."""
-    from ..batch import pack_str_bytes
+    from ..batch import normalize_str_bytes, pack_str_bytes
 
     const = np.zeros((1, STR_PAD), dtype=np.uint8)
     raw = np.frombuffer(s[:STR_PAD], dtype=np.uint8)
     const[0, : len(raw)] = raw
-    const_w = pack_str_bytes(const)[0]
+    # the constant gets the same NUL-normalization as ingested strings:
+    # bytes after an embedded NUL are strcmp-invisible, and stored rows
+    # have zeros there (r4 review: b'Hola\\x00xyz' matched nothing)
+    const_w = pack_str_bytes(normalize_str_bytes(const))[0]
 
     def f(b: RecordBatch) -> jax.Array:
         k = b.str_words
@@ -114,7 +125,12 @@ def pred_and(*preds: Predicate) -> Predicate:
 
 
 def filter_batch(
-    batch: RecordBatch, predicate: Predicate
+    batch: RecordBatch,
+    predicate: Predicate,
+    count: jax.Array | None = None,
 ) -> tuple[RecordBatch, jax.Array]:
-    """Evaluate predicate, compact survivors. Returns (batch, count)."""
-    return compact(batch, predicate(batch))
+    """Evaluate predicate, compact survivors. Returns (batch, count).
+
+    ``count`` marks the live prefix under the static-capacity convention
+    (padding rows never pass, whatever the predicate says of zeros)."""
+    return compact(batch, predicate(batch), count=count)

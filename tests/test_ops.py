@@ -200,3 +200,64 @@ def test_hash_table_with_counts(rng):
     )
     _, _, m_nres = M.model_hash_join(live_build, live_probe, 1)
     assert int(nres) == m_nres
+
+
+def test_pred_str_eq_embedded_nul(rng):
+    """strcmp==0 semantics: bytes after an embedded NUL in the CONSTANT are
+    invisible, exactly as they are in ingested strings (r4 review)."""
+    from database_technology_algorithms_tpu.ops.filter import (
+        filter_batch,
+        pred_str_eq,
+    )
+
+    cols = M.random_cols(rng, 200, key_range=30)
+    b = M.to_batch(cols)
+    want = sum(1 for s in M.to_batch(cols).str_list() if s == b"Hola")
+    _, n1 = filter_batch(b, pred_str_eq(b"Hola"))
+    _, n2 = filter_batch(b, pred_str_eq(b"Hola\x00garbage"))
+    assert int(n1) == int(n2) == want
+
+
+def test_compact_count_gates_padding(rng):
+    """Capacity-padding rows (zeroed) must not satisfy predicates when the
+    live count is provided (r4 review: distinct output + num-range filter
+    emitted garbage zero rows)."""
+    from database_technology_algorithms_tpu.ops.distinct import distinct
+    from database_technology_algorithms_tpu.ops.filter import (
+        filter_batch,
+        pred_num_range,
+    )
+
+    cols = M.random_cols(rng, 300, key_range=40)
+    cols["num"] = (cols["num"] + 1).astype(np.uint32)  # keep 0 out of live keys
+    d, k = distinct(M.to_batch(cols), 1)
+    out, n = filter_batch(d, pred_num_range(hi=20), count=k)
+    d_idx, _ = M.model_distinct(cols, 1)
+    want = sum(1 for i in d_idx if cols["num"][i] < 20)
+    assert int(n) == want
+    o = out.to_numpy()
+    assert np.all(o["num"][: int(n)] > 0)  # no zero-padding survivors
+
+
+def test_distinct_active_and_count_compose(rng):
+    """Passing BOTH a predicate mask and a live count intersects them
+    (r4 review: count was silently dropped when active was given)."""
+    import jax.numpy as jnp
+
+    from database_technology_algorithms_tpu.config import EngineConfig
+    from database_technology_algorithms_tpu.ops.distinct import distinct_view
+
+    cols = M.random_cols(rng, 300, key_range=40)
+    cols["num"] = (cols["num"] + 1).astype(np.uint32)
+    b = M.to_batch(cols)
+    live = 200
+    pred = np.asarray(cols["num"]) < 25
+    _, keep_sorted = distinct_view(
+        b, 1, EngineConfig(), active=jnp.asarray(pred), count=jnp.int32(live)
+    )
+    n = jnp.sum(keep_sorted)
+    live_cols = {k: v[:live] for k, v in cols.items()}
+    keep = pred[:live]
+    filt = {k: v[:live][keep] for k, v in live_cols.items()}
+    _, want = M.model_distinct(filt, 1)
+    assert int(n) == want
