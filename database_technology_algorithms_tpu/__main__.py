@@ -380,6 +380,16 @@ def cmd_mergejoin(args) -> int:
 
 
 def cmd_hashjoin(args) -> int:
+    """Hash semi-join two block files (probe-side rows out).
+
+    OUTPUT ORDER CAVEAT: the in-memory route emits matched probe rows in
+    probe SCAN order (like the reference's probe loop,
+    ``DatabaseProject.cpp:583-629``), while the bounded-memory route
+    (--mem-blocks / auto) streams them in probe KEY order — a byte-level
+    diff between the two routes' output files (or against a reference
+    output) must compare order-insensitively.  The emitted row SET and
+    ``nres`` are identical; the JSON line records which order was used.
+    """
     _setup_jax(args.platform)
     import numpy as np
 
@@ -413,6 +423,7 @@ def cmd_hashjoin(args) -> int:
                     "mem_rows": mem_rows,
                     "peak_range_rows": stats.peak_range_rows,
                     "nsorted_segs": stats.nsorted_segs,
+                    "output_order": "probe_key",
                     "wall_s": round(time.time() - t0, 4),
                 }
             )
@@ -430,7 +441,11 @@ def cmd_hashjoin(args) -> int:
         out, nres = hash_join(build, probe, field)
         nres = int(nres)
         write_blockfile(args.outfile, truncate(out, nres))
-    print(json.dumps({"nres": nres, "wall_s": round(time.time() - t0, 4)}))
+    print(json.dumps({
+        "nres": nres,
+        "output_order": "probe_scan",
+        "wall_s": round(time.time() - t0, 4),
+    }))
     return 0
 
 

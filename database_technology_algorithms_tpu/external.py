@@ -129,7 +129,11 @@ class SegmentStore:
         return (
             i in self.manifest["segments"]
             and self.manifest["segmeta"].get(str(i)) == meta
-            and all(self.seg_path(i, c).exists() for c in self.COLS)
+            # "keys" included: a segment whose key matrix was lost must
+            # recompute, not FileNotFoundError at read time (r4 advice)
+            and all(
+                self.seg_path(i, c).exists() for c in self.COLS + ("keys",)
+            )
         )
 
     def write_segment(

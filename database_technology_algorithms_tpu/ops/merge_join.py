@@ -107,6 +107,9 @@ def join_sorted_distinct_impl(
             and cfg.packed_u32_sorts
             and cfg.materialize != "sort2d"
             and 4 + r.str_words <= 8
+            # the packed back-sort/valid-fold kernels pack iota below the
+            # flag bits: n < 2^30 (mirrors models/pipeline._direct_place)
+            and r.nrows + s.nrows < (1 << 30)
         ):
             # u32 keys: skip the dest permutation — matched packs into the
             # perm word (1-op back sort) and the survivor placement IS a

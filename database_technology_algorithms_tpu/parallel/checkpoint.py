@@ -156,6 +156,23 @@ class StageCheckpoints:
                 key=lambda s: s.index[0].start or 0,
             )
             lo = shards[0].index[0].start or 0
+            # load_stage reconstructs this process's rows from ONE (lo,
+            # length) range — a mesh whose device order gives this process
+            # non-contiguous global row slices would make its resume slice
+            # out of range, so refuse loudly at save time (r4 advice)
+            pos = lo
+            for s in shards:
+                start = s.index[0].start or 0
+                if start != pos:
+                    raise ValueError(
+                        f"save_stage({stage!r}): process {self.pid}'s shards "
+                        f"of {name!r} are not one contiguous row range "
+                        f"(expected start {pos}, got {start}); per-stage "
+                        f"checkpointing requires a mesh whose device order "
+                        f"tiles each process's rows contiguously"
+                    )
+                stop = s.index[0].stop
+                pos = arr.shape[0] if stop is None else stop
             local[name] = np.concatenate(
                 [np.asarray(s.data) for s in shards], axis=0
             )

@@ -1,4 +1,15 @@
-"""Truthful timing through the axon TPU tunnel.
+"""LEGACY timing protocol — superseded by utils/profiling.timed_steady.
+
+Nothing in the repo calls this module any more (r5): the fori-loop
+differencing protocol below cancels tunnel overhead exactly, but wrapping
+*sort* programs in ``lax.fori_loop`` has been observed to compile
+pathologically at the remote compile service (utils/profiling.py
+docstring), and the production estimator — K queued dispatches fenced by
+a device->host readback, independent minima (``timed_steady``) — measures
+the same steady state without loop-wrapping.  Kept as the historical
+record of the tunnel facts below; use ``timed_steady`` for new work.
+
+Original doc: Truthful timing through the axon TPU tunnel.
 
 Measured tunnel facts (tools/bench_primitives.py, /tmp/async_test.py):
 
