@@ -331,27 +331,66 @@ def make_pipeline_staged(field: int = 1, cfg: EngineConfig = DEFAULT_CONFIG):
         def place_all(dest, cnt, r):
             return place_batch(dest, cnt, r)
 
-    def run(r: RecordBatch, s: RecordBatch) -> dict:
+    def _run_overbudget(r: RecordBatch, s: RecordBatch) -> dict:
+        """Host-level composition from the unbounded ops (VERDICT r4 #3):
+        distinct routes through the chunked two-pass driver, the
+        intersection through the tiled join driver, materialization
+        through gather chunks — every device program O(mem_rows).  Same
+        result dict as the in-budget staged runner."""
+        import numpy as np
+
+        from ..ops.chunked import compact_rows_chunked
+        from ..ops.distinct import distinct
+        from ..ops.hash_join import hash_join_count
+
+        r_d, nu_r = distinct(r, field, cfg)
+        s_d, nu_s = distinct(s, field, cfg)
+        # matched R survivors in key order = semi-join of the dedup'd
+        # sides (build side distinct => field-3 multiplicities are 1,
+        # so nres is the intersection count for every field)
+        m_r, _, mjn = hash_join_count(
+            s_d, r_d, field, cfg, build_count=nu_s, probe_count=nu_r
+        )
+        _, _, hjn = hash_join_count(
+            r_d, s_d, field, cfg, build_count=nu_r, probe_count=nu_s
+        )
+        mj_out, _ = compact_rows_chunked(r_d, np.asarray(m_r), cfg)
+        return {
+            "nunique_r": nu_r,
+            "nunique_s": nu_s,
+            "merge_nres": mjn,
+            "hash_nres": hjn,
+            "agg_groups": nu_s,
+            "join_out": mj_out,
+            "join_count": mjn,
+        }
+
+    def materialize(out: dict, r: RecordBatch, s: RecordBatch) -> RecordBatch:
+        """Stage B: the one record materialization from stage A's words."""
         nr = r.nrows
-        out = jit_a(r, s)
         if use_sort_placement(cfg):
             if "matched_r" in out:
                 key_r = r.recid if fld == 0 else r.num
-                mj_out = place_join_by_key(
-                    out["matched_r"], key_r, out["cnt"], r
+                return place_join_by_key(
+                    out["matched_r"], key_r, out["cnt"], r,
+                    key_plane="recid" if fld == 0 else "num",
                 )
-            else:
-                mj_out = place_all(out["dest"], out["cnt"], r)
-        else:
-            cnt, (orig_front,) = compact_words(
-                out["matched"], (out["perm"],)
-            )
-            gather_idx = jnp.where(
-                jnp.arange(nr, dtype=jnp.int32) < cnt,
-                orig_front[:nr],
-                jnp.int32(nr + s.nrows),
-            )
-            mj_out = RecordBatch.concat([r, s]).take_fill(gather_idx)
+            return place_all(out["dest"], out["cnt"], r)
+        cnt, (orig_front,) = compact_words(
+            out["matched"], (out["perm"],)
+        )
+        gather_idx = jnp.where(
+            jnp.arange(nr, dtype=jnp.int32) < cnt,
+            orig_front[:nr],
+            jnp.int32(nr + s.nrows),
+        )
+        return RecordBatch.concat([r, s]).take_fill(gather_idx)
+
+    def run(r: RecordBatch, s: RecordBatch) -> dict:
+        if r.nrows + s.nrows > cfg.mem_rows:
+            return _run_overbudget(r, s)
+        out = jit_a(r, s)
+        mj_out = materialize(out, r, s)
         return {
             "nunique_r": out["nunique_r"],
             "nunique_s": out["nunique_s"],
@@ -362,6 +401,11 @@ def make_pipeline_staged(field: int = 1, cfg: EngineConfig = DEFAULT_CONFIG):
             "join_count": out["merge_nres"],
         }
 
+    # expose the stage programs for per-stage accounting (bench.py /
+    # tools/floor_accounting.py — VERDICT r4 #1); production callers use
+    # run() only
+    run.stage_a = jit_a  # type: ignore[attr-defined]
+    run.materialize = materialize  # type: ignore[attr-defined]
     return run
 
 

@@ -101,4 +101,21 @@ def distinct_impl(
     return materialize_survivors(batch, view.perm, keep, cfg)
 
 
-distinct = per_static_jit(distinct_impl)
+_distinct_jit = per_static_jit(distinct_impl)
+
+
+def distinct(
+    batch: RecordBatch,
+    field,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    count: jax.Array | None = None,
+) -> tuple[RecordBatch, jax.Array]:
+    """Public host-level form: in-budget batches hit the jitted kernel;
+    over-budget batches ROUTE through the chunked two-pass driver
+    (ops/chunked.py) instead of raising (VERDICT r4 #3b).  The jit-safe
+    core (``distinct_impl``) keeps its trace-time gate for in-jit use."""
+    if batch.nrows > cfg.mem_rows:
+        from .chunked import distinct_chunked
+
+        return distinct_chunked(batch, field, cfg, count)
+    return _distinct_jit(batch, field, cfg, count)

