@@ -306,8 +306,11 @@ def child_warm() -> int:
     counts = patch_cache_counters()
     r, s = gen_inputs()
     times = {}
+    # headline first (a wedge then costs detail programs, never the
+    # headline); the monolith fallback-headline last for the same reason
     for name in ("pipeline_materialized", "hash_join_count", "sort",
-                 "distinct", "pipeline_counters_only"):
+                 "distinct", "pipeline_counters_only",
+                 "pipeline_materialized_mono"):
         t0 = time.perf_counter()
         call, _ = build_variant(name, r, s)
         fence(call(r, s))

@@ -32,6 +32,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from .movement import value_boundaries
+
 from ..batch import RecordBatch, canonical_field
 from ..config import DEFAULT_CONFIG, EngineConfig
 from .keys import hash_words
@@ -83,9 +85,7 @@ def _bucket_table(
     real_key = jnp.where(ok, 2 * slot_sorted, 2 * m + iota).astype(jnp.uint32)
     j = jnp.arange(m, dtype=jnp.int32)
     # occupied iff rank < count(bucket): count = searchsorted over sb runs
-    counts = jnp.diff(
-        jnp.searchsorted(sb, jnp.arange(nbuckets + 1, dtype=jnp.uint32))
-    ).astype(jnp.int32)
+    counts = jnp.diff(value_boundaries(sb, nbuckets + 1))
     occupied = (j % cap) < counts[j // cap]
     ph_key = jnp.where(occupied, 2 * m + n + j, 2 * j + 1).astype(jnp.uint32)
     keys2 = jnp.concatenate([real_key, ph_key])
@@ -125,9 +125,7 @@ def _bucketed_matched(
     slot_sorted = sb.astype(jnp.int32) * cap_p + rank_sorted
     real_key = jnp.where(ok, 2 * slot_sorted, 2 * m + iota).astype(jnp.uint32)
     j = jnp.arange(m, dtype=jnp.int32)
-    counts = jnp.diff(
-        jnp.searchsorted(sb, jnp.arange(nbuckets + 1, dtype=jnp.uint32))
-    ).astype(jnp.int32)
+    counts = jnp.diff(value_boundaries(sb, nbuckets + 1))
     occupied = (j % cap_p) < counts[j // cap_p]
     ph_key = jnp.where(occupied, 2 * m + npr + j, 2 * j + 1).astype(jnp.uint32)
     keys2 = jnp.concatenate([real_key, ph_key])

@@ -282,7 +282,20 @@ def member_multiplicity(
     words = tuple(
         jnp.concatenate([bw, kw]) for bw, kw in zip(bwords, kwords)
     )
-    if len(words) + 2 <= 18:
+    if len(words) == 1 and n < (1 << 30):
+        # single-word keys: bit-pack (inact, key, iota) into 2 operands —
+        # the packed_u32_view_sort layout at cell granularity (r5: the
+        # tiled join's per-cell cost dropped ~2x; run identity is the
+        # KEY, so s_key ignores the inact bit exactly like the fused path)
+        key = words[0].astype(jnp.uint32)
+        hi = (inact << 31) | (key >> 1)
+        lo = ((key & 1) << 31) | iota.astype(jnp.uint32)
+        shi, slo = jax.lax.sort((hi, lo), num_keys=2)
+        s_live = (shi >> 31) == 0
+        s_key = (shi << 1) | (slo >> 31)
+        perm = (slo & jnp.uint32(0x7FFFFFFF)).astype(jnp.int32)
+        s_words = (s_key,)
+    elif len(words) + 2 <= 18:
         ops = (inact,) + words + (iota,)
         out = jax.lax.sort(ops, num_keys=len(ops))
         s_words = out[1:-1]
@@ -324,6 +337,11 @@ def member_multiplicity(
     ).astype(jnp.uint32)
     # back to query order: query rows' perm values are m..n-1, monotone
     ord_key = jnp.where(perm >= m, perm, jnp.int32(n)).astype(jnp.uint32)
+    if n < (1 << 16):
+        # small cells: (ord_key, count) both fit 16 bits (count <= build
+        # rows in the cell < n) — 1-operand packed back-sort (r5)
+        (sp,) = jax.lax.sort(((ord_key << 16) | cnt_sorted,), num_keys=1)
+        return sp[:c] & jnp.uint32(0xFFFF)
     back = jax.lax.sort((ord_key, cnt_sorted), num_keys=1)
     return back[1][:c]
 

@@ -299,6 +299,41 @@ def permute_rows(
     return place_batch(dest, count, batch)
 
 
+def value_boundaries(d: jax.Array, nprobes: int) -> jax.Array:
+    """``out[p] = #elements of d < p`` for p in [0, nprobes).
+
+    The partition-pass counting primitive: ``jnp.searchsorted`` is
+    scan-based on TPU (measured 137 ms at 2M x 255) while the
+    broadcast-compare reduce below measures ~0.2 ms (PERF_NOTES r4,
+    tools/bench_sort_ceiling2 S1).  ``d`` need not be sorted.  Per-part
+    counts are ``jnp.diff(value_boundaries(d, nparts + 1))``.
+
+    The broadcast form is O(n * nprobes); past ~1K probes (pod-scale
+    shuffles, >8M-row tiled joins) a sort-based O((n+P) log) form takes
+    over: probes ride the sort at key ``2p`` against data at ``2d+1``,
+    so each probe lands exactly AFTER the data values below it — its
+    sorted position minus its probe rank IS the boundary.
+    """
+    du = d.astype(jnp.uint32)
+    if nprobes <= 1024:
+        probes = jnp.arange(nprobes, dtype=jnp.uint32)
+        return jnp.sum(
+            (du[:, None] < probes[None, :]).astype(jnp.int32), axis=0
+        )
+    n = du.shape[0]
+    dd = jnp.minimum(du, jnp.uint32(nprobes))  # clamp: sinks stay above
+    keys = jnp.concatenate(
+        [dd * 2 + 1, jnp.arange(nprobes, dtype=jnp.uint32) * 2]
+    )
+    flag = jnp.concatenate(
+        [jnp.zeros(n, jnp.uint32), jnp.ones(nprobes, jnp.uint32)]
+    )
+    _, sflag = jax.lax.sort((keys, flag), num_keys=1)
+    pos = jnp.arange(n + nprobes, dtype=jnp.int32)
+    _, (ppos,) = compact_words(sflag == 1, (pos,))
+    return ppos[:nprobes] - jnp.arange(nprobes, dtype=jnp.int32)
+
+
 def stage_to_cells(
     dest: jax.Array,
     active: jax.Array,
@@ -348,10 +383,7 @@ def stage_to_cells(
         (sd < jnp.uint32(nparts)) & (rank_sorted >= cap), dtype=jnp.int32
     )
     counts = jnp.minimum(
-        jnp.diff(
-            jnp.searchsorted(sd, jnp.arange(nparts + 1, dtype=jnp.uint32))
-        ).astype(jnp.int32),
-        cap,
+        jnp.diff(value_boundaries(sd, nparts + 1)), cap
     )
     # slot back to original row order (si is a permutation: keys unique)
     _, slot_of_row = jax.lax.sort((si, slot_sorted), num_keys=1)

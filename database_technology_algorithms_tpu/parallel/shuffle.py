@@ -69,11 +69,9 @@ def _dest_ranks(
     rank_sorted = iota - start_pos.astype(jnp.int32)
     # un-permute: sorting by the original index restores arrival order
     _, rank = jax.lax.sort((sidx, rank_sorted), num_keys=1)
-    counts = jnp.diff(
-        jnp.searchsorted(
-            sdest, jnp.arange(ndev + 2, dtype=jnp.uint32), side="left"
-        )
-    ).astype(jnp.int32)
+    from ..ops.movement import value_boundaries
+
+    counts = jnp.diff(value_boundaries(sdest, ndev + 2))
     return counts, rank
 
 

@@ -265,3 +265,40 @@ def test_tiled_join_reservation_no_fallback_branch(rng):
     if mem is not None and getattr(mem, "temp_size_in_bytes", 0):
         n = b.nrows + p.nrows
         assert mem.temp_size_in_bytes < 64 * 4 * n
+
+
+def test_chunked_driver_duplicate_heavy(rng):
+    """Adversarial splitter collapse: one dominant key (Zipf-extreme)
+    forces the chunked driver's oversized-range handling — the all-equal
+    stream path must preserve global index order and the distinct seam
+    must count the dominant key once."""
+    import numpy as np
+
+    import model as M
+    from database_technology_algorithms_tpu.config import EngineConfig
+    from database_technology_algorithms_tpu.ops.distinct import distinct
+    from database_technology_algorithms_tpu.ops.sort import sort_batch
+
+    g = np.random.default_rng(11)
+    n = 3000
+    num = np.full(n, 7, np.uint32)
+    other = g.integers(0, 40, n // 10, dtype=np.uint32).astype(np.uint32)
+    num[: n // 10] = other  # 90% of rows share key 7
+    cols = {
+        "recid": np.arange(n, dtype=np.uint32),
+        "num": num,
+        "strs": np.zeros((n, 8), np.uint8),
+        "valid": np.ones(n, bool),
+    }
+    b = M.to_batch(cols)
+    tiny = EngineConfig(mem_rows=400)
+    big = EngineConfig(mem_rows=1 << 20)
+    out, perm = sort_batch(b, 1, tiny)
+    ref, ref_perm = sort_batch(b, 1, big)
+    np.testing.assert_array_equal(np.asarray(perm), np.asarray(ref_perm))
+    d_out, nu = distinct(b, 1, tiny)
+    d_ref, nu_ref = distinct(b, 1, big)
+    assert int(nu) == int(nu_ref)
+    on, rn = d_out.to_numpy(), d_ref.to_numpy()
+    for k in ("recid", "num", "strs", "valid"):
+        np.testing.assert_array_equal(on[k], rn[k], err_msg=k)
