@@ -133,6 +133,9 @@ def pipeline_single_impl(
 
     nr, ns = r.nrows, s.nrows
     n = nr + ns
+    # jit-safe MONOLITH: the trace-time gate stays.  The host-level form
+    # with over-budget routing is make_pipeline_staged(...)(r, s), whose
+    # runner composes the unbounded ops when r+s exceed the budget.
     ensure_device_budget(n, cfg, "pipeline_single")
 
     # selection filter: the valid flag is the reference format's predicate

@@ -86,7 +86,9 @@ def _bucket_table(
     j = jnp.arange(m, dtype=jnp.int32)
     # occupied iff rank < count(bucket): count = searchsorted over sb runs
     counts = jnp.diff(value_boundaries(sb, nbuckets + 1))
-    occupied = (j % cap) < counts[j // cap]
+    occupied = (
+        jnp.arange(cap, dtype=jnp.int32)[None, :] < counts[:, None]
+    ).reshape(m)
     ph_key = jnp.where(occupied, 2 * m + n + j, 2 * j + 1).astype(jnp.uint32)
     keys2 = jnp.concatenate([real_key, ph_key])
     pay = jnp.concatenate([sk, jnp.full((m,), sentinel, jnp.uint32)])
@@ -126,7 +128,9 @@ def _bucketed_matched(
     real_key = jnp.where(ok, 2 * slot_sorted, 2 * m + iota).astype(jnp.uint32)
     j = jnp.arange(m, dtype=jnp.int32)
     counts = jnp.diff(value_boundaries(sb, nbuckets + 1))
-    occupied = (j % cap_p) < counts[j // cap_p]
+    occupied = (
+        jnp.arange(cap_p, dtype=jnp.int32)[None, :] < counts[:, None]
+    ).reshape(m)
     ph_key = jnp.where(occupied, 2 * m + npr + j, 2 * j + 1).astype(jnp.uint32)
     keys2 = jnp.concatenate([real_key, ph_key])
     pay_key = jnp.concatenate([sk, jnp.zeros((m,), jnp.uint32)])

@@ -402,7 +402,11 @@ def _tiled_matched_mult(
     )
 
     def cap_for(n):
-        c = max((-(-n // ntiles)) * 2 * cap_mult, 64)
+        # 1.5x slack over a uniform murmur split (Poisson at practical
+        # cell sizes sits tens of sigma below this; the host retry
+        # doubles cap_mult on the astronomical miss) — r5: padding is
+        # pure member-kernel and staging traffic, 2x -> 1.5x saves ~15%
+        c = max(((-(-n // ntiles)) * 3 * cap_mult + 1) // 2, 64)
         return -(-c // 8) * 8  # 8-row aligned cells
 
     cap_b, cap_p = cap_for(nb), cap_for(npr)
@@ -425,9 +429,11 @@ def _tiled_matched_mult(
     nw = max(len(bkw), len(pkw))
     bkw = bkw + [jnp.zeros(nb, jnp.uint32)] * (nw - len(bkw))
     pkw = pkw + [jnp.zeros(npr, jnp.uint32)] * (nw - len(pkw))
-    bcells, bcnt, _, ovf_b = stage_to_cells(hb, b_active, ntiles, cap_b, bkw)
-    pcells, pcnt, slot_p, ovf_p = stage_to_cells(
-        hp, p_active, ntiles, cap_p, pkw
+    bcells, bcnt, _, ovf_b = stage_to_cells(
+        hb, b_active, ntiles, cap_b, bkw, row_map="none"
+    )
+    pcells, pcnt, si_p, ovf_p = stage_to_cells(
+        hp, p_active, ntiles, cap_p, pkw, row_map="si"
     )
 
     nsteps = ntiles // group
@@ -449,12 +455,27 @@ def _tiled_matched_mult(
         return carry, batched_pairs(bw, pw, cb, cp)
 
     _, mult_cells = jax.lax.scan(body, jnp.int32(0), xs)  # [S, G, cap_p]
-    mult_flat = jnp.concatenate(
-        [mult_cells.reshape(-1), jnp.zeros(1, jnp.uint32)]
+    # slot-order mults back to probe rows through SORTS, not the 1M
+    # random gather (measured 7 ms latency-bound vs ~3 ms of sorts, r5):
+    # compact occupied slots' mults (slot order); the staging
+    # permutation si_p is ALREADY the probe rows in slot order (valid
+    # while nothing overflowed — an overflow discards this attempt at
+    # the host retry anyway), so one un-permute sort finishes the job.
+    # Probe rows beyond their cell cap or inactive carry 0.
+    mp = ntiles * cap_p
+    occupied_p = (
+        jnp.arange(cap_p, dtype=jnp.int32)[None, :] < pcnt[:, None]
+    ).reshape(mp)
+    _, (mult_slots,) = compact_words(
+        occupied_p, (mult_cells.reshape(mp),)
     )
-    mult_rows = jnp.take(
-        mult_flat, jnp.minimum(slot_p, ntiles * cap_p)
-    ).astype(jnp.int32)
+    n_staged = jnp.sum(pcnt)  # occupied slots == staged rows
+    pos = jnp.arange(npr, dtype=jnp.int32)
+    mult_in_slot_order = jnp.where(pos < n_staged, mult_slots[:npr], 0)
+    _, mult_rows_u = jax.lax.sort(
+        (si_p, mult_in_slot_order), num_keys=1
+    )
+    mult_rows = mult_rows_u.astype(jnp.int32)
     return mult_rows > 0, mult_rows, ovf_b + ovf_p
 
 

@@ -340,7 +340,8 @@ def stage_to_cells(
     nparts: int,
     cap: int,
     payloads: list[jax.Array],
-) -> tuple[list[jax.Array], jax.Array, jax.Array, jax.Array]:
+    row_map: str = "slots",
+) -> tuple[list[jax.Array], jax.Array, jax.Array | None, jax.Array]:
     """Stage rows into padded [nparts, cap] cells by destination id.
 
     The device-side analogue of the external drivers' spill partitioning
@@ -349,13 +350,22 @@ def stage_to_cells(
     live rows packed to the FRONT of each cell.  No gathers/scatters —
     two small rank sorts plus grouped placeholder-pinned placement sorts.
 
-    Returns ``(cells, counts, slot_of_row, overflow)``: ``cells`` is one
+    Returns ``(cells, counts, row_map_out, overflow)``: ``cells`` is one
     [nparts*cap] array per payload word (row-major by cell; dead slots
     zero-filled — liveness comes from ``counts``), ``counts`` the per-cell
-    live counts clamped to cap, ``slot_of_row[i]`` each row's flat slot
-    (= nparts*cap for dropped/inactive rows), ``overflow`` the number of
-    active rows that exceeded their cell's capacity (results for those
-    rows are NOT staged; callers must detect and recover).
+    live counts clamped to cap, ``overflow`` the number of active rows
+    that exceeded their cell's capacity (results for those rows are NOT
+    staged; callers must detect and recover).  ``row_map`` selects the
+    third output (r5 — each option below "slots" saves a 2-operand
+    un-permute sort):
+
+      "slots"  slot_of_row[i] = row i's flat slot (nparts*cap for
+               dropped/inactive rows);
+      "si"     the staging permutation itself: original row indices in
+               (cell, arrival) order — which IS slot order as long as
+               nothing overflowed (overflow rows interleave mid-cell, so
+               callers must discard the attempt when overflow > 0);
+      "none"   None.
 
     NOTE: ``parallel/overlap._partition_words_to_slots`` (U32_MAX filler,
     slot semantics for the exchange) and ``ops/bucket_join._bucket_table``
@@ -369,7 +379,16 @@ def stage_to_cells(
     m = nparts * cap
     iota = jnp.arange(n, dtype=jnp.int32)
     d = jnp.where(active, dest.astype(jnp.uint32), jnp.uint32(nparts))
-    sd, si = jax.lax.sort((d, iota), num_keys=2)
+    # When the caller does not need slot_of_row, payloads (if few) RIDE
+    # the rank sort, the placement keys by the sorted-order slots, and
+    # the un-permute sort disappears entirely (r5: -1 full 2-op sort)
+    fuse = row_map != "slots" and len(payloads) + 2 <= 1 + PLACE_GROUP
+    if fuse:
+        out = jax.lax.sort((d, iota) + tuple(payloads), num_keys=2)
+        sd, si, spay = out[0], out[1], list(out[2:])
+    else:
+        sd, si = jax.lax.sort((d, iota), num_keys=2)
+        spay = None
     is_start = jnp.concatenate([jnp.ones(1, bool), sd[1:] != sd[:-1]])
     start = seg_carry(
         is_start, jnp.where(is_start, iota, 0).astype(jnp.uint32)
@@ -385,26 +404,44 @@ def stage_to_cells(
     counts = jnp.minimum(
         jnp.diff(value_boundaries(sd, nparts + 1)), cap
     )
-    # slot back to original row order (si is a permutation: keys unique)
-    _, slot_of_row = jax.lax.sort((si, slot_sorted), num_keys=1)
+    if fuse:
+        row_map_out = si if row_map == "si" else None
+        real_key = jnp.where(
+            slot_sorted < m, 2 * slot_sorted, 2 * m + iota
+        ).astype(jnp.uint32)
+        pay_words = spay
+    else:
+        # slot back to original row order (si is a permutation)
+        _, slot_of_row = jax.lax.sort((si, slot_sorted), num_keys=1)
+        row_map_out = {
+            "slots": slot_of_row, "si": si, "none": None,
+        }[row_map]
+        real_key = jnp.where(
+            slot_of_row < m, 2 * slot_of_row, 2 * m + iota
+        ).astype(jnp.uint32)
+        pay_words = payloads
 
     # placeholder-pinned placement: real rows keyed 2*slot, placeholders pin
     # unoccupied slots at 2*slot+1, dropped rows sink past 2m
-    ok = slot_of_row < m
-    real_key = jnp.where(ok, 2 * slot_of_row, 2 * m + iota).astype(jnp.uint32)
     j = jnp.arange(m, dtype=jnp.int32)
-    occupied = (j % cap) < counts[j // cap]
+    # occupancy WITHOUT the per-slot `j % cap < counts[j // cap]` form:
+    # integer div/mod by a non-power-of-2 cap expands to long VPU
+    # sequences and the counts[] indexing is a 2M-row gather — the
+    # reshape broadcast is pure compare traffic (r5 tiled-join profile)
+    occupied = (
+        jnp.arange(cap, dtype=jnp.int32)[None, :] < counts[:, None]
+    ).reshape(m)
     ph_key = jnp.where(occupied, 2 * m + n + j, 2 * j + 1).astype(jnp.uint32)
     keys = jnp.concatenate([real_key, ph_key])
     cells: list[jax.Array] = []
-    for base in range(0, len(payloads), PLACE_GROUP):
-        grp = payloads[base : base + PLACE_GROUP]
+    for base in range(0, len(pay_words), PLACE_GROUP):
+        grp = pay_words[base : base + PLACE_GROUP]
         pay = tuple(
             jnp.concatenate([w, jnp.zeros((m,), w.dtype)]) for w in grp
         )
         out = jax.lax.sort((keys,) + pay, num_keys=1)
         cells.extend(o[:m] for o in out[1:])
-    return cells, counts, slot_of_row, overflow
+    return cells, counts, row_map_out, overflow
 
 
 def sort_words(

@@ -43,8 +43,8 @@ def main():
         2,
     )
 
-    def cap_for(n):
-        c = max((-(-n // ntiles)) * 2, 64)
+    def cap_for(n):  # keep in sync with hash_join._tiled_matched_mult
+        c = max(((-(-n // ntiles)) * 3 + 1) // 2, 64)
         return -(-c // 8) * 8
 
     cap_b, cap_p = cap_for(nb), cap_for(npr)
