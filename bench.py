@@ -248,8 +248,6 @@ def build_variant(name, r, s):
     from database_technology_algorithms_tpu.ops.hash_join import (
         hash_join_count_impl,
     )
-    from database_technology_algorithms_tpu.ops.movement import place_batch
-    from database_technology_algorithms_tpu.ops.sort import survivor_dest
 
     if name == "sort":
         from database_technology_algorithms_tpu.ops.sort import (
@@ -266,17 +264,29 @@ def build_variant(name, r, s):
         return (lambda r, s: call(r)), (lambda: {})
 
     if name == "distinct":
+        # mirrors the r5 production route (ops/distinct.py direct-sort
+        # materialization): stage A = view sort + 1-op packed back-sort,
+        # stage B = key-plane join placement
+        from database_technology_algorithms_tpu.ops.movement import (
+            place_join_by_key,
+        )
 
         def _distinct_stage(r):
             view, keep = distinct_view(r, 1)
-            dest, cnt = survivor_dest(view.perm, keep)
-            return dest.astype(jnp.uint32), cnt
+            packed = (view.perm.astype(jnp.uint32) << 1) | keep.astype(
+                jnp.uint32
+            )
+            (sp,) = jax.lax.sort((packed,), num_keys=1)
+            keep_orig = (sp[: r.nrows] & 1) == 1
+            return keep_orig, jnp.sum(keep, dtype=jnp.int32)
 
-        jit_distdest = jax.jit(_distinct_stage)
+        jit_diststage = jax.jit(_distinct_stage)
 
         def call(r):
-            dest, cnt = jit_distdest(r)
-            return place_batch(dest, cnt, r).num
+            keep_orig, cnt = jit_diststage(r)
+            return place_join_by_key(
+                keep_orig, r.num, cnt, r, key_plane="num"
+            ).num
 
         return (lambda r, s: call(r)), (lambda: {})
 

@@ -93,11 +93,45 @@ def distinct_impl(
     from ..utils.checks import ensure_device_budget
 
     ensure_device_budget(batch.nrows, cfg, "distinct")
-    if canonical_field(field) in (0, 1) and cfg.u32_distinct_engine == "fastpath":
+    fld = canonical_field(field)
+    if fld in (0, 1) and cfg.u32_distinct_engine == "fastpath":
         from .fastpath import distinct_u32
 
         return distinct_u32(batch, field, count=count)
     view, keep = distinct_view(batch, field, cfg, count=count)
+    from .movement import use_sort_placement
+
+    if (
+        fld in (0, 1)
+        and cfg.packed_u32_sorts
+        and use_sort_placement(cfg)
+        and cfg.materialize != "sort2d"
+        and 4 + batch.str_words <= 8
+        and batch.nrows < (1 << 30)
+    ):
+        # direct-sort materialization (r5, the join's r4 trick applied
+        # to DISTINCT): "survivors first, in key order" IS a sort of the
+        # batch by (dropped, key, iota), so skip the dense survivor_dest
+        # permutation (a 2-operand un-permute) — one 1-operand packed
+        # back-sort hands keep to original order, and the placement
+        # rides the packed key words with the key column reconstructed
+        # (movement.place_join_by_key key_plane) — 2 fewer operand
+        # passes than survivor_dest + place_batch
+        from .movement import place_join_by_key
+
+        n = batch.nrows
+        nunique = jnp.sum(keep, dtype=jnp.int32)
+        packed = (view.perm.astype(jnp.uint32) << 1) | keep.astype(
+            jnp.uint32
+        )
+        (sp,) = jax.lax.sort((packed,), num_keys=1)
+        keep_orig = (sp[:n] & 1) == 1
+        key = batch.recid if fld == 0 else batch.num
+        out = place_join_by_key(
+            keep_orig, key, nunique, batch,
+            key_plane="recid" if fld == 0 else "num",
+        )
+        return out, nunique
     return materialize_survivors(batch, view.perm, keep, cfg)
 
 

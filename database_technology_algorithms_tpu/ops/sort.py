@@ -302,11 +302,16 @@ def sort_batch_impl(
         and 5 + batch.str_words <= 8
     ):
         # u32 keys at narrow width: ONE fused sort carries the whole
-        # record — packed 2-word key + 3+K payload words — instead of
-        # key sort + inverse-perm sort + placement sorts (9 operand-
-        # passes -> 5+K, r4).  valid rides as payload: it is not a sort
-        # key, and folding it into lo would change the iota tie order.
+        # record — packed 2-word key + payload words — instead of key
+        # sort + inverse-perm sort + placement sorts (9 operand-passes
+        # -> 4+K, r4/r5).  valid rides as payload: it is not a sort key,
+        # and folding it into lo would change the iota tie order.  The
+        # key's OWN column does not ride at all: the packed words carry
+        # the full key (hi bits 30:0 = key bits 31:1, lo bit 31 = key
+        # bit 0), so it is reconstructed after the sort — one fewer
+        # operand (r5, the movement.key_plane trick).
         key = batch.recid if field == 0 else batch.num
+        other = batch.num if field == 0 else batch.recid
         iota = jnp.arange(n, dtype=jnp.int32)
         inact = (
             jnp.zeros(n, jnp.uint32)
@@ -316,16 +321,19 @@ def sort_batch_impl(
         hi = (inact << 31) | (key >> 1)
         lo = ((key & 1) << 31) | iota.astype(jnp.uint32)
         k = batch.str_words
-        ops = (hi, lo, batch.recid, batch.num) + tuple(
+        ops = (hi, lo, other) + tuple(
             batch.strw[:, j] for j in range(k)
         ) + (batch.valid.astype(jnp.uint32),)
         out = jax.lax.sort(ops, num_keys=2)
         perm = (out[1] & jnp.uint32(0x7FFFFFFF)).astype(jnp.int32)
+        key_sorted = ((out[0] & jnp.uint32(0x7FFFFFFF)) << 1) | (
+            out[1] >> 31
+        )
         sorted_b = RecordBatch(
-            recid=out[2],
-            num=out[3],
-            strw=jnp.stack(out[4 : 4 + k], axis=1),
-            valid=out[4 + k] == 1,
+            recid=key_sorted if field == 0 else out[2],
+            num=out[2] if field == 0 else key_sorted,
+            strw=jnp.stack(out[3 : 3 + k], axis=1),
+            valid=out[3 + k] == 1,
         )
         return sorted_b, perm
     pre = ()
