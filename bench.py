@@ -268,16 +268,13 @@ def build_variant(name, r, s):
         # materialization): stage A = view sort + 1-op packed back-sort,
         # stage B = key-plane join placement
         from database_technology_algorithms_tpu.ops.movement import (
+            packed_keep_backsort,
             place_join_by_key,
         )
 
         def _distinct_stage(r):
             view, keep = distinct_view(r, 1)
-            packed = (view.perm.astype(jnp.uint32) << 1) | keep.astype(
-                jnp.uint32
-            )
-            (sp,) = jax.lax.sort((packed,), num_keys=1)
-            keep_orig = (sp[: r.nrows] & 1) == 1
+            keep_orig = packed_keep_backsort(view.perm, keep, r.nrows)
             return keep_orig, jnp.sum(keep, dtype=jnp.int32)
 
         jit_diststage = jax.jit(_distinct_stage)

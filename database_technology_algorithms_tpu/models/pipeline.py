@@ -309,11 +309,9 @@ def make_pipeline_staged(field: int = 1, cfg: EngineConfig = DEFAULT_CONFIG):
             out["perm"] = view.perm
             out["matched"] = matched
         elif _direct_place(r, s):
-            packed = (view.perm.astype(jnp.uint32) << 1) | matched.astype(
-                jnp.uint32
-            )
-            (sp,) = jax.lax.sort((packed,), num_keys=1)
-            out["matched_r"] = (sp[:nr] & 1) == 1
+            from ..ops.movement import packed_keep_backsort
+
+            out["matched_r"] = packed_keep_backsort(view.perm, matched, nr)
         else:
             dest, _ = survivor_dest(view.perm, matched)
             out["dest"] = dest[:nr].astype(jnp.uint32)
@@ -346,23 +344,29 @@ def make_pipeline_staged(field: int = 1, cfg: EngineConfig = DEFAULT_CONFIG):
         from ..ops.distinct import distinct
         from ..ops.hash_join import hash_join_count
 
-        r_d, nu_r = distinct(r, field, cfg)
-        s_d, nu_s = distinct(s, field, cfg)
+        # the valid predicate is the pipeline's selection filter (an
+        # activity mask in the in-budget view sort) — the over-budget
+        # composition must honor it the same way (r5 review: a valid=False
+        # row once leaked into the over-budget counters)
+        r_d, nu_r = distinct(r, field, cfg, active=r.valid)
+        s_d, nu_s = distinct(s, field, cfg, active=s.valid)
         # matched R survivors in key order = semi-join of the dedup'd
         # sides (build side distinct => field-3 multiplicities are 1,
         # so nres is the intersection count for every field)
         m_r, _, mjn = hash_join_count(
             s_d, r_d, field, cfg, build_count=nu_s, probe_count=nu_r
         )
-        _, _, hjn = hash_join_count(
-            r_d, s_d, field, cfg, build_count=nu_r, probe_count=nu_s
-        )
         mj_out, _ = compact_rows_chunked(r_d, np.asarray(m_r), cfg)
         return {
             "nunique_r": nu_r,
             "nunique_s": nu_s,
             "merge_nres": mjn,
-            "hash_nres": hjn,
+            # over dedup'd sides both cross-check counters are the same
+            # intersection cardinality; the in-budget pipeline likewise
+            # derives both from ONE sort — no second full tiled join
+            # (r5 review: it doubled over-budget wall time for zero
+            # independent verification)
+            "hash_nres": mjn,
             "agg_groups": nu_s,
             "join_out": mj_out,
             "join_count": mjn,

@@ -41,21 +41,26 @@ _range_cache: dict = {}
 _gather_cache: dict = {}
 
 
-def _sorted_chunk(batch, field, cfg, lo, hi, count):
+def _sorted_chunk(batch, field, cfg, lo, hi, count, active=None):
     """Device-sort rows [lo, hi) by (inactive, key, global index).
 
     Returns host ``(mat, gidx)``: ``mat`` is the [m, 1+nw] u32 matrix
     (column 0 = inactivity, then full key words) in sorted order, ``gidx``
-    the rows' ORIGINAL global indices in that order.
+    the rows' ORIGINAL global indices in that order.  ``active`` is an
+    optional per-row liveness mask (full batch length) composed with the
+    count convention — rows failing either sink as inactive.
     """
     m = hi - lo
-    sig = (field, cfg, batch.str_words, m)
+    sig = (field, cfg, batch.str_words, m, active is not None)
     fn = _sorter_cache.get(sig)
     if fn is None:
 
-        def f(recid, num, strw, valid, gidx, cnt):
+        def f(recid, num, strw, valid, gidx, cnt, act):
             sub = RecordBatch(recid=recid, num=num, strw=strw, valid=valid)
-            inact = (gidx >= cnt).astype(jnp.uint32)
+            inactive = gidx >= cnt
+            if act is not None:
+                inactive = inactive | ~act
+            inact = inactive.astype(jnp.uint32)
             view = sort_keys(
                 sub, field, cfg,
                 pre_words=(inact,),
@@ -72,6 +77,7 @@ def _sorted_chunk(batch, field, cfg, lo, hi, count):
     words, sg = fn(
         batch.recid[lo:hi], batch.num[lo:hi], batch.strw[lo:hi],
         batch.valid[lo:hi], gidx, cnt,
+        None if active is None else active[lo:hi],
     )
     mat = np.stack([np.asarray(w).astype(np.uint32) for w in words], axis=1)
     return mat, np.asarray(sg).astype(np.int64)
@@ -111,7 +117,7 @@ def _range_order(mat: np.ndarray, gidx: np.ndarray) -> np.ndarray:
     return np.asarray(order).astype(np.int64)
 
 
-def _global_key_order(batch, field, cfg, mem_rows, count=None):
+def _global_key_order(batch, field, cfg, mem_rows, count=None, active=None):
     """Yield host ``(mat, gidx)`` pieces in GLOBAL (active-first, key,
     index) order, each <= mem_rows rows (the key-only two-pass
     distribution sort; record payloads never move here)."""
@@ -124,7 +130,7 @@ def _global_key_order(batch, field, cfg, mem_rows, count=None):
     sample_every = max(m // 256, 1)
     for lo in range(0, n, m):
         hi = min(lo + m, n)
-        mat, gidx = _sorted_chunk(batch, field, cfg, lo, hi, count)
+        mat, gidx = _sorted_chunk(batch, field, cfg, lo, hi, count, active)
         chunks.append((mat, gidx))
         samples.append(mat[::sample_every])
     if not chunks:
@@ -295,17 +301,18 @@ def distinct_chunked(
     field,
     cfg: EngineConfig = DEFAULT_CONFIG,
     count=None,
+    active=None,
 ) -> tuple[RecordBatch, jax.Array]:
     """``distinct`` semantics for over-budget batches (chunked passes).
 
     Same contract as ``distinct.distinct_impl``: capacity-N batch holding
     the first live row of each key group in key order, rows past nunique
-    zeroed.
+    zeroed; ``active`` composes with count like ``distinct_view``.
     """
     surv: list[np.ndarray] = []
     prev_key = None
     for mat, gidx in _global_key_order(
-        batch, field, cfg, cfg.mem_rows, count
+        batch, field, cfg, cfg.mem_rows, count, active
     ):
         act = mat[:, 0] == 0
         if not act.any():

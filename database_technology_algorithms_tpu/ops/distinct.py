@@ -81,12 +81,15 @@ def distinct_impl(
     field,
     cfg: EngineConfig = DEFAULT_CONFIG,
     count: jax.Array | None = None,
+    active: jax.Array | None = None,
 ) -> tuple[RecordBatch, jax.Array]:
     """Sort + DISTINCT (the reference's EliminateDuplicates pipeline).
 
     Returns (batch_with_capacity_N, nunique); rows past nunique are zeroed.
     Output rows are in sorted key order, matching the reference's output
-    order.  `count` marks live rows under the static-capacity convention.
+    order.  `count` marks live rows under the static-capacity convention;
+    `active` is an arbitrary additional liveness mask (e.g. the valid
+    predicate — composes with count, see distinct_view).
     One key sort + one record gather.
     """
     from ..batch import canonical_field
@@ -94,11 +97,15 @@ def distinct_impl(
 
     ensure_device_budget(batch.nrows, cfg, "distinct")
     fld = canonical_field(field)
-    if fld in (0, 1) and cfg.u32_distinct_engine == "fastpath":
+    if (
+        fld in (0, 1)
+        and cfg.u32_distinct_engine == "fastpath"
+        and active is None
+    ):
         from .fastpath import distinct_u32
 
         return distinct_u32(batch, field, count=count)
-    view, keep = distinct_view(batch, field, cfg, count=count)
+    view, keep = distinct_view(batch, field, cfg, count=count, active=active)
     from .movement import use_sort_placement
 
     if (
@@ -117,15 +124,11 @@ def distinct_impl(
         # rides the packed key words with the key column reconstructed
         # (movement.place_join_by_key key_plane) — 2 fewer operand
         # passes than survivor_dest + place_batch
-        from .movement import place_join_by_key
+        from .movement import packed_keep_backsort, place_join_by_key
 
         n = batch.nrows
         nunique = jnp.sum(keep, dtype=jnp.int32)
-        packed = (view.perm.astype(jnp.uint32) << 1) | keep.astype(
-            jnp.uint32
-        )
-        (sp,) = jax.lax.sort((packed,), num_keys=1)
-        keep_orig = (sp[:n] & 1) == 1
+        keep_orig = packed_keep_backsort(view.perm, keep, n)
         key = batch.recid if fld == 0 else batch.num
         out = place_join_by_key(
             keep_orig, key, nunique, batch,
@@ -143,6 +146,7 @@ def distinct(
     field,
     cfg: EngineConfig = DEFAULT_CONFIG,
     count: jax.Array | None = None,
+    active: jax.Array | None = None,
 ) -> tuple[RecordBatch, jax.Array]:
     """Public host-level form: in-budget batches hit the jitted kernel;
     over-budget batches ROUTE through the chunked two-pass driver
@@ -151,5 +155,5 @@ def distinct(
     if batch.nrows > cfg.mem_rows:
         from .chunked import distinct_chunked
 
-        return distinct_chunked(batch, field, cfg, count)
-    return _distinct_jit(batch, field, cfg, count)
+        return distinct_chunked(batch, field, cfg, count, active=active)
+    return _distinct_jit(batch, field, cfg, count, active)

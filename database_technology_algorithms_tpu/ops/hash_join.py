@@ -353,6 +353,38 @@ def _next_pow2(x: int) -> int:
     return p
 
 
+def _tile_layout(
+    nb: int, npr: int, mem_rows: int, cap_mult: int = 1
+) -> tuple[int, int, int, int]:
+    """(ntiles, cap_b, cap_p, group) for the tiled over-budget join.
+
+    The ONE definition of the tiling geometry — production and the
+    profiler (tools/profile_tiled.py) must agree or the profiler measures
+    cells of a shape production never runs (r5 review).  Tiles are sized
+    so (a) a GROUP of cell pairs fits the row budget and (b) a pair leans
+    toward the measured batched-sort sweet spot (~16K rows/side); cell
+    capacity carries 1.5x slack over a uniform murmur split (tens of
+    sigma at practical cell sizes; the host retry doubles ``cap_mult`` on
+    the astronomical miss).
+    """
+    mem = max(int(mem_rows), 2)
+    ntiles = max(
+        _next_pow2(-(-(2 * (nb + npr)) // mem)),
+        _next_pow2(-(-(nb + npr) // 16384)),
+        2,
+    )
+
+    def cap_for(n):
+        c = max(((-(-n // ntiles)) * 3 * cap_mult + 1) // 2, 64)
+        return -(-c // 8) * 8  # 8-row aligned cells
+
+    cap_b, cap_p = cap_for(nb), cap_for(npr)
+    group = max(min(mem // (cap_b + cap_p), ntiles), 1)
+    while ntiles % group:
+        group -= 1  # powers of two in practice; loop is the general guard
+    return ntiles, cap_b, cap_p, group
+
+
 def _tiled_matched_mult(
     build: RecordBatch,
     probe: RecordBatch,
@@ -392,28 +424,9 @@ def _tiled_matched_mult(
     from .movement import stage_to_cells
 
     nb, npr = build.nrows, probe.nrows
-    mem = max(int(cfg.mem_rows), 2)
-    # enough tiles that (a) a group of pairs fits the budget and (b) a
-    # pair leans toward the batched-sort sweet spot (~16K rows/side)
-    ntiles = max(
-        _next_pow2(-(-(2 * (nb + npr)) // mem)),
-        _next_pow2(-(-(nb + npr) // 16384)),
-        2,
+    ntiles, cap_b, cap_p, group = _tile_layout(
+        nb, npr, cfg.mem_rows, cap_mult
     )
-
-    def cap_for(n):
-        # 1.5x slack over a uniform murmur split (Poisson at practical
-        # cell sizes sits tens of sigma below this; the host retry
-        # doubles cap_mult on the astronomical miss) — r5: padding is
-        # pure member-kernel and staging traffic, 2x -> 1.5x saves ~15%
-        c = max(((-(-n // ntiles)) * 3 * cap_mult + 1) // 2, 64)
-        return -(-c // 8) * 8  # 8-row aligned cells
-
-    cap_b, cap_p = cap_for(nb), cap_for(npr)
-    # group size: G pairs per scan step, one batched member kernel each
-    group = max(min(mem // (cap_b + cap_p), ntiles), 1)
-    while ntiles % group:
-        group -= 1  # powers of two in practice; loop is the general guard
     idx_b = jnp.arange(nb, dtype=jnp.int32)
     idx_p = jnp.arange(npr, dtype=jnp.int32)
     b_active = jnp.ones(nb, bool) if build_count is None else idx_b < build_count
@@ -643,10 +656,7 @@ def hash_join(
     instead of one probe-capacity placement sort — no ``MemoryBudgetError``
     is reachable (VERDICT r4 #3; streams/files still belong to
     ``external.external_hash_join``)."""
-    if (
-        probe.nrows <= cfg.mem_rows
-        and build.nrows + probe.nrows <= cfg.mem_rows
-    ):
+    if build.nrows + probe.nrows <= cfg.mem_rows:
         return _hash_join_jit(build, probe, field, cfg)
     from .chunked import compact_rows_chunked
 

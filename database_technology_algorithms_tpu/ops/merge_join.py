@@ -114,12 +114,10 @@ def join_sorted_distinct_impl(
             # u32 keys: skip the dest permutation — matched packs into the
             # perm word (1-op back sort) and the survivor placement IS a
             # direct sort of R by (unmatched, key) (r4, movement.py)
+            from .movement import packed_keep_backsort
+
             nres = jnp.sum(matched, dtype=jnp.int32)
-            packed = (view.perm.astype(jnp.uint32) << 1) | matched.astype(
-                jnp.uint32
-            )
-            (sp,) = jax.lax.sort((packed,), num_keys=1)
-            matched_r = (sp[: r.nrows] & 1) == 1
+            matched_r = packed_keep_backsort(view.perm, matched, r.nrows)
             key_r = r.recid if fld == 0 else r.num
             return place_join_by_key(
                 matched_r, key_r, nres, r,

@@ -232,6 +232,23 @@ def place_join_by_key(
     return RecordBatch(recid=recid, num=num, strw=strw, valid=valid)
 
 
+def packed_keep_backsort(
+    perm: jax.Array, keep: jax.Array, n_front: int
+) -> jax.Array:
+    """A keep mask over SORTED positions, returned in ORIGINAL row order
+    for the first ``n_front`` original rows — as ONE 1-operand packed
+    sort of ``perm<<1 | keep`` (perm is a permutation, so sorting the
+    packed word restores original order with the mask in the low bit).
+
+    The shared core of every direct-sort materialization (join, staged
+    pipeline, distinct — r5 review: four hand-rolled copies had begun to
+    drift on their guards).  Requires ``perm`` values < 2^31.
+    """
+    packed = (perm.astype(jnp.uint32) << 1) | keep.astype(jnp.uint32)
+    (sp,) = jax.lax.sort((packed,), num_keys=1)
+    return (sp[:n_front] & 1) == 1
+
+
 def place_batch(
     dest: jax.Array,
     cnt: jax.Array | None,

@@ -299,7 +299,9 @@ def sort_batch_impl(
         and cfg.packed_u32_sorts
         and use_sort_placement(cfg)
         and cfg.materialize != "sort2d"  # the 2-D engine stays selectable
-        and 5 + batch.str_words <= 8
+        # 4 + K operands since the key column stopped riding (r5):
+        # hi, lo, other-id, K string words, valid
+        and 4 + batch.str_words <= 8
     ):
         # u32 keys at narrow width: ONE fused sort carries the whole
         # record — packed 2-word key + payload words — instead of key

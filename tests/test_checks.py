@@ -302,3 +302,33 @@ def test_chunked_driver_duplicate_heavy(rng):
     on, rn = d_out.to_numpy(), d_ref.to_numpy()
     for k in ("recid", "num", "strs", "valid"):
         np.testing.assert_array_equal(on[k], rn[k], err_msg=k)
+
+
+def test_staged_pipeline_over_budget_honors_valid(rng):
+    """r5 review finding (CONFIRMED): the over-budget composition must
+    apply the valid-predicate selection filter exactly like the
+    in-budget view sort — a valid=False row must not join or count."""
+    import numpy as np
+
+    import model as M
+    from database_technology_algorithms_tpu.config import EngineConfig
+    from database_technology_algorithms_tpu.models.pipeline import (
+        make_pipeline_staged,
+    )
+
+    rc = M.random_cols(rng, 1100, key_range=130)
+    sc = M.random_cols(rng, 1300, key_range=130)
+    rc["num"][5] = 999
+    rc["valid"][5] = False  # invalid row with an otherwise-matching key
+    sc["num"][7] = 999
+    rc["valid"][40:60] = False
+    sc["valid"][100:140] = False
+    r, s = M.to_batch(rc), M.to_batch(sc)
+    out = make_pipeline_staged(1, EngineConfig(mem_rows=512))(r, s)
+    ref = make_pipeline_staged(1, EngineConfig(mem_rows=1 << 20))(r, s)
+    for k in ("nunique_r", "nunique_s", "merge_nres", "hash_nres",
+              "agg_groups", "join_count"):
+        assert int(out[k]) == int(ref[k]), k
+    on, rn = out["join_out"].to_numpy(), ref["join_out"].to_numpy()
+    for k in ("recid", "num", "strs", "valid"):
+        np.testing.assert_array_equal(on[k], rn[k], err_msg=k)

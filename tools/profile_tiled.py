@@ -35,22 +35,9 @@ def main():
     jax.block_until_ready((r, s))
 
     nb = npr = ROWS
-    from database_technology_algorithms_tpu.ops.hash_join import _next_pow2
+    from database_technology_algorithms_tpu.ops.hash_join import _tile_layout
 
-    ntiles = max(
-        _next_pow2(-(-(2 * (nb + npr)) // MEM)),
-        _next_pow2(-(-(nb + npr) // 16384)),
-        2,
-    )
-
-    def cap_for(n):  # keep in sync with hash_join._tiled_matched_mult
-        c = max(((-(-n // ntiles)) * 3 + 1) // 2, 64)
-        return -(-c // 8) * 8
-
-    cap_b, cap_p = cap_for(nb), cap_for(npr)
-    group = max(min(MEM // (cap_b + cap_p), ntiles), 1)
-    while ntiles % group:
-        group -= 1
+    ntiles, cap_b, cap_p, group = _tile_layout(nb, npr, MEM)
     print(f"ntiles={ntiles} cap_b={cap_b} cap_p={cap_p} group={group} "
           f"steps={ntiles//group}", flush=True)
 
