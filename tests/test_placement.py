@@ -555,3 +555,33 @@ def test_over_budget_materializing_hash_join_routes(rng):
     on, rn = out.to_numpy(), ref.to_numpy()
     for k in ("recid", "num", "strs", "valid"):
         np.testing.assert_array_equal(on[k], rn[k], err_msg=k)
+
+
+@pytest.mark.parametrize("field", ["0", "1"])
+def test_sort_fused_k4_width_agrees(rng, field):
+    """The r5 gate widening (4+K <= 8) admits K=4 string batches into the
+    fused whole-record sort — equality vs the gather engine at that
+    width (12-char strings -> 4-word bucket)."""
+    g = np.random.default_rng(17)
+    n = 500
+    strs = np.zeros((n, 16), np.uint8)
+    strs[:, :12] = g.integers(97, 123, size=(n, 12), dtype=np.uint8)
+    cols = {
+        "recid": g.permutation(n).astype(np.uint32),
+        "num": g.integers(0, 60, n, dtype=np.uint32).astype(np.uint32),
+        "strs": strs,
+        "valid": g.random(n) > 0.1,
+    }
+    batch = M.to_batch(cols)
+    assert batch.str_words == 4
+    from database_technology_algorithms_tpu.ops.sort import sort_batch
+
+    a, pa = sort_batch(batch, field, CFG_SORT)
+    b, pb = sort_batch(batch, field, CFG_GATHER)
+    np.testing.assert_array_equal(np.asarray(pa), np.asarray(pb))
+    for k in ("recid", "num", "strs", "valid"):
+        np.testing.assert_array_equal(a.to_numpy()[k], b.to_numpy()[k], k)
+    # live-count form too
+    a2, pa2 = sort_batch(batch, field, CFG_SORT, count=300)
+    b2, pb2 = sort_batch(batch, field, CFG_GATHER, count=300)
+    np.testing.assert_array_equal(np.asarray(pa2), np.asarray(pb2))
