@@ -36,7 +36,6 @@ import numpy as np
 from ..batch import FIELD_NUMSTR, RecordBatch, canonical_field
 from ..config import DEFAULT_CONFIG, EngineConfig
 from ._jit import per_static_jit
-from .keys import adjacent_equal
 from .movement import compact_rows, compact_words, sort_words
 from .scan import seg_carry
 from .sort import sort_keys
